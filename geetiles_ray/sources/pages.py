@@ -1,0 +1,152 @@
+"""Deterministic Common-Crawl-style web-page table (FIXTURES.md F1).
+
+Schema per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Every column is a pure function of the row index (seed-pinned), so the table
+regenerates identically at any scale and any parallelism — the byte-identical
+``text``-per-``url`` invariant has a closed-form oracle
+(``expected_text(url)``), and ~2% of urls are duplicated with a later
+``warc_ts`` to exercise dedup (keep-earliest).
+
+Generated as ``ray.data.range(n).map_batches(...)`` — no driver loop, no
+materialized list; at 10^12 rows this is just more blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+LANGS = ["en", "zh", "es", "de", "fr"]
+# cumulative percent thresholds: en 44%, zh 15%, es 15%, de 13%, fr 13%
+_LANG_CUM = [44, 59, 74, 87, 100]
+
+_VOCAB = (
+    "the of and to a in is it you that he was for on are with as i his they "
+    "be at one have this from or had by hot word but what some we can out "
+    "other were all there when up use your how said an each she tile page "
+    "crawl web data map grid cell spark ray arrow batch shuffle join"
+).split()
+assert len(_VOCAB) == 64
+
+_EPOCH = datetime(2024, 1, 1)
+_WRAP_PRE = b"<html><head><title>page</title></head><body>"
+_WRAP_POST = b"</body></html>"
+
+N_HOSTS = 97
+DUP_PERIOD = 50  # every 50th row re-crawls the previous row's url → ~2% dups
+
+
+def lang_of_index(i: np.ndarray) -> np.ndarray:
+    """Deterministic language for row i (distribution over _LANG_CUM)."""
+    bucket = (i * 7919) % 100  # prime stride decorrelates lang from host/path
+    out = np.empty(len(i), dtype=object)
+    prev = 0
+    for lg, hi in zip(LANGS, _LANG_CUM):
+        m = (bucket >= prev) & (bucket < hi)
+        out[m] = lg
+        prev = hi
+    return out
+
+
+def url_of_index(i: int, lang: str) -> str:
+    return f"https://{lang}.site{i % N_HOSTS}.example/{i:08d}"
+
+
+def expected_text(url: str) -> str:
+    """The text oracle: words from a fixed 64-word vocab driven by the
+    sha256 stream of the url. Pure function of url (so duplicate crawls of
+    a url carry byte-identical text — north-rule invariant)."""
+    d = hashlib.sha256(url.encode("utf-8")).digest()
+    n_words = 20 + d[0] % 30
+    words = []
+    stream = d
+    j = 0
+    while len(words) < n_words:
+        if j >= len(stream):
+            stream = stream + hashlib.sha256(stream[-32:]).digest()
+        words.append(_VOCAB[stream[j] % 64])
+        j += 1
+    return " ".join(words)
+
+
+def html_of_text(text: str) -> bytes:
+    return _WRAP_PRE + text.encode("utf-8") + _WRAP_POST
+
+
+def _gen_batch(batch: pa.Table) -> pa.Table:
+    idx = batch["id"].to_numpy()
+    # duplicate rule: rows with i % DUP_PERIOD == DUP_PERIOD-1 and i>0 are a
+    # re-crawl of row i-1's url, 1000 days... no — +1 hour later.
+    is_dup = (idx % DUP_PERIOD == DUP_PERIOD - 1) & (idx > 0)
+    src = np.where(is_dup, idx - 1, idx)
+    langs = lang_of_index(src)
+    urls = [url_of_index(int(s), lg) for s, lg in zip(src, langs)]
+    texts = [expected_text(u) for u in urls]
+    htmls = [html_of_text(t) for t in texts]
+    ts = [_EPOCH + timedelta(seconds=int(i)) + (timedelta(hours=1) if d else timedelta(0))
+          for i, d in zip(idx, is_dup)]
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(list(langs), type=pa.string()),
+    })
+
+
+def generate_pages(n: int, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
+        _gen_batch, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def extract_text_batch(batch: pa.Table, html_col: str = "html",
+                       out_col: str = "text_extracted") -> pa.Table:
+    """html → text extraction stage (the graft's payload transform; the
+    north rule requires the extracted text to be byte-identical per url).
+    Finds the <body>…</body> span; tolerant of attribute noise."""
+    htmls = batch[html_col].to_pylist()
+    out = []
+    for h in htmls:
+        lo = h.find(b"<body")
+        lo = h.find(b">", lo) + 1 if lo >= 0 else 0
+        hi = h.rfind(b"</body>")
+        if hi < 0:
+            hi = len(h)
+        out.append(h[lo:hi].decode("utf-8", errors="replace"))
+    cols = {name: batch[name] for name in batch.column_names}
+    cols[out_col] = pa.array(out, type=pa.string())
+    return pa.table(cols)
+
+
+def pages_from_documents(sf_dir: str, parallelism: int = -1) -> ray.data.Dataset:
+    """Derive a pages table from the driver's ``documents`` parquet so the
+    DuckDB oracle can see the same rows: url is a pure function of doc_id,
+    text/lang are taken from the table, warc_ts is synthesized from doc_id.
+    Used by __ray_entry__ queries (the sha256(url) geocode then matches the
+    SQL in oracle_sql())."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy()
+        urls = [f"https://doc{int(d)}.example/" for d in doc_id]
+        ts = [_EPOCH + timedelta(seconds=int(d)) for d in doc_id]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "text": batch["text"],
+            "lang": batch["lang"],
+        })
+
+    return ds.map_batches(add_url, batch_format="pyarrow")
+
+
+URL_FROM_DOCID_SQL = "('https://doc' || CAST(doc_id AS VARCHAR) || '.example/')"

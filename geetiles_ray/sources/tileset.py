@@ -1,0 +1,160 @@
+"""Tileset table: the Arrow-native analogue of the reference PartitionSet
+(/root/reference/geetiles/partitions.py:21-49) — one row per tile.
+
+Schema (FIXTURES.md F3):
+    identifier : string   — 13-hex content hash of the geometry envelope
+                            (bit-for-bit utils.py:232-240 parity)
+    wkb        : binary   — polygon exterior ring as WKB, EPSG:4326
+    minx/miny/maxx/maxy : double — denormalized bounds (fast PIP / bbox join)
+    clon, clat : double   — envelope-centroid (split banding uses this,
+                            partitions.py:323)
+    area_km2   : double   — UTM-projected polygon area / 1e6
+                            (partitions.py:38-46)
+    cell_id    : uint64   — spatial index cell (functions/cells.py), the
+                            shuffle / co-location key
+    grid_idx   : int64    — generation-order index (the reference's file
+                            row order; regionlist hash A4 folds in this order)
+
+Persistence: a directory of Parquet part files named
+``{aoi}_partitions_{name}_{hash}`` — same naming contract as the reference
+GeoJSON file (partitions.py:199-218) with Parquet instead of GeoJSON; a
+GeoJSON export sink is provided for compatibility (S3/S12 in SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import cells as cellsmod
+from ..functions import crs as crsmod
+from ..functions import geom, hashing
+
+TILESET_COLUMNS = [
+    "identifier", "wkb", "minx", "miny", "maxx", "maxy",
+    "clon", "clat", "area_km2", "cell_id", "grid_idx",
+]
+
+
+def tile_batch_from_rings(
+    rings: list[np.ndarray], grid_idx: np.ndarray, zone: int, north: bool, cell_res: int
+) -> pa.Table:
+    """Vectorized construction of tileset rows from polygon rings.
+
+    area_km2 reproduces partitions.py:38-46: reproject the (4326) polygon to
+    the tileset's UTM CRS and take its planar area / 1e6.
+    """
+    n = len(rings)
+    minx = np.empty(n); miny = np.empty(n); maxx = np.empty(n); maxy = np.empty(n)
+    area = np.empty(n)
+    wkbs = []
+    for i, r in enumerate(rings):
+        minx[i], miny[i], maxx[i], maxy[i] = geom.bounds(r)
+        e, no = crsmod.lonlat_to_utm(r[:, 0], r[:, 1], zone, north)
+        area[i] = geom.shoelace_area(np.column_stack([e, no])) / 1e6
+        wkbs.append(geom.ring_to_wkb(r))
+    ids = hashing.region_hashes_from_bounds_arrays(minx, miny, maxx, maxy)
+    clon = (minx + maxx) / 2.0
+    clat = (miny + maxy) / 2.0
+    cell = cellsmod.cell_of(clon, clat, cell_res)
+    return pa.table({
+        "identifier": pa.array(list(ids), type=pa.string()),
+        "wkb": pa.array(wkbs, type=pa.binary()),
+        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        "clon": clon, "clat": clat,
+        "area_km2": area,
+        "cell_id": pa.array(cell, type=pa.uint64()),
+        "grid_idx": pa.array(np.asarray(grid_idx, dtype=np.int64)),
+    })
+
+
+def tileset_hash(ds: ray.data.Dataset) -> str:
+    """Order-dependent tileset hash (A4, utils.py:242-250): fold identifiers
+    in ``grid_idx`` order. Streams sorted identifier batches to the driver —
+    only the identifier column moves (13 bytes/tile)."""
+    ids: list[str] = []
+    for b in ds.select_columns(["identifier", "grid_idx"]).sort("grid_idx").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids.extend(b["identifier"].to_pylist())
+    return hashing.regionlist_hash(ids)
+
+
+def save_tileset(
+    ds: ray.data.Dataset, dest_dir: str, aoi_name: str, partitions_name: str
+) -> str:
+    """Write the tileset as hash-named Parquet dir (S3 analogue,
+    partitions.py:199-218). Refuses '_' / 'partitions' in names exactly as
+    the reference does (partitions.py:210-211 and the name assert at
+    partitions.py:31)."""
+    if "_" in aoi_name:
+        raise ValueError("'aoi_name' cannot contain '_'")
+    if "_" in partitions_name or "partitions" in partitions_name:
+        raise ValueError("cannot have '_' or 'partitions' in partitions_name")
+    ds = ds.materialize()  # consumed twice (hash fold + write); tilesets are the small side
+    h = tileset_hash(ds)
+    out = os.path.join(dest_dir, f"{aoi_name}_partitions_{partitions_name}_{h}")
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    return out
+
+
+def load_tileset(path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(path)
+
+
+def tileset_name_parts(path: str) -> tuple[str | None, str | None]:
+    """Parse ``{aoi}_partitions_{name}_{hash}`` (partitions.py:420-425 regex)."""
+    base = os.path.basename(path.rstrip("/"))
+    m = re.search("_partitions_(.+?)_", base)
+    return (base.split("_")[0] if "_" in base else None, m.group(1) if m else None)
+
+
+def export_geojson(ds: ray.data.Dataset, path: str, properties: list[str] | None = None) -> str:
+    """Compatibility sink: tileset → GeoJSON FeatureCollection (the
+    reference's native format, partitions.py:213). Streams feature batches;
+    intended for small/medium tilesets (GeoJSON is not a scale format)."""
+    props = properties or ["identifier", "area_km2"]
+    with open(path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        first = True
+        for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            wkb_col = b["wkb"].to_pylist()
+            prop_cols = {p: b[p].to_pylist() for p in props if p in b.column_names}
+            for i, w in enumerate(wkb_col):
+                ring = geom.wkb_to_ring(w)
+                feat = {
+                    "type": "Feature",
+                    "properties": {p: v[i] for p, v in prop_cols.items()},
+                    "geometry": {"type": "Polygon",
+                                 "coordinates": [ring.tolist()]},
+                }
+                f.write(("" if first else ",\n") + json.dumps(feat))
+                first = False
+        f.write("\n]}\n")
+    return path
+
+
+def import_geojson(path: str) -> ray.data.Dataset:
+    """Compatibility source (S2): GeoJSON FeatureCollection → tileset rows.
+    Re-derives identifier/area/cell columns from the geometry so round-trips
+    are self-consistent."""
+    with open(path) as f:
+        fc = json.load(f)
+    rings = []
+    for feat in fc["features"]:
+        coords = feat["geometry"]["coordinates"]
+        if feat["geometry"]["type"] == "MultiPolygon":
+            coords = coords[0]
+        rings.append(np.asarray(coords[0], dtype=np.float64))
+    all_pts = np.vstack(rings)
+    clon, clat = all_pts[:, 0].mean(), all_pts[:, 1].mean()
+    zone, north = crsmod.utm_zone(clon, clat)
+    res = cellsmod.pick_resolution(max(r[:, 0].max() - r[:, 0].min() for r in rings))
+    tbl = tile_batch_from_rings(rings, np.arange(len(rings)), zone, north, res)
+    return ray.data.from_arrow(tbl)

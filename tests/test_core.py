@@ -1,0 +1,131 @@
+"""Unit tests for the pure-numpy core: hashing, CRS, geometry, cells."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from geetiles_ray.functions import cells, crs, geom, hashing
+
+
+class TestHashing:
+    def test_reference_formula_parity(self):
+        """Reproduce the reference algorithm literally (utils.py:232-240):
+        str(round(envelope_coords, 5)) → sha256 → mod 10^15 → 13-hex."""
+        coords = hashing.envelope_boundary_coords(5.8, 49.4, 6.6, 50.2)
+        s = str(coords.round(5))
+        k = int(hashlib.sha256(s.encode("utf-8")).hexdigest(), 16) % 10**15
+        expect = hex(k)[2:].zfill(13)
+        assert hashing.region_hash_from_bounds(5.8, 49.4, 6.6, 50.2) == expect
+        assert len(expect) == 13
+
+    def test_hash_independent_of_ring_start(self):
+        r1 = geom.box_ring(0, 0, 2, 1)
+        r2 = np.roll(r1[:-1], 2, axis=0)
+        r2 = np.vstack([r2, r2[:1]])
+        assert hashing.region_hash(r1) == hashing.region_hash(r2)
+
+    def test_regionlist_hash_order_dependent(self):
+        assert hashing.regionlist_hash(["a", "b"]) != hashing.regionlist_hash(["b", "a"])
+
+    def test_stability_golden(self):
+        # frozen goldens: a changed hash algorithm breaks tile-id parity
+        assert hashing.region_hash_from_bounds(0, 0, 2, 1) == "1ba4ff2790dca"
+        assert hashing.regionlist_hash(["abc", "def"]) == "05b6d02f79f62"
+
+
+class TestCRS:
+    def test_known_anchor(self):
+        # UTM zone 31 at (0E, 0N): published easting 166021.443 m
+        e, n = crs.lonlat_to_utm(0.0, 0.0, 31, True)
+        assert abs(e - 166021.443) < 0.01
+        assert abs(n) < 1e-6
+
+    def test_central_meridian_scale(self):
+        # on the central meridian, easting = 500000 and northing ≈ k0 * arc length
+        e, _ = crs.lonlat_to_utm(9.0, 45.0, 32, True)
+        assert abs(e - 500000.0) < 1e-6
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(5.0, 8.0, 1000)
+        lat = rng.uniform(-80, 84, 1000)
+        e, n = crs.lonlat_to_utm(lon, lat, 31, True)
+        lon2, lat2 = crs.utm_to_lonlat(e, n, 31, True)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+
+    def test_southern_hemisphere(self):
+        e, n = crs.lonlat_to_utm(-58.4, -34.6, 21, False)  # Buenos Aires zone 21S
+        assert 0 < n < 10_000_000
+        lon2, lat2 = crs.utm_to_lonlat(e, n, 21, False)
+        assert abs(lon2 - -58.4) < 1e-9 and abs(lat2 - -34.6) < 1e-9
+
+    def test_zone_lookup(self):
+        assert crs.utm_epsg(6.13, 49.61) == 32632
+        assert crs.utm_epsg(-58.4, -34.6) == 32721
+
+
+class TestGeom:
+    def test_wkb_roundtrip(self):
+        r = geom.box_ring(1.5, -2.0, 3.25, 4.0)
+        np.testing.assert_array_equal(geom.wkb_to_ring(geom.ring_to_wkb(r)), r)
+
+    def test_shoelace(self):
+        assert geom.shoelace_area(geom.box_ring(0, 0, 2, 3)) == 6.0
+
+    def test_pip(self):
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], float)
+        px = np.array([0.5, 2.0, 2.0, 0.5])
+        py = np.array([0.5, 0.5, 2.0, 2.0])
+        np.testing.assert_array_equal(
+            geom.points_in_ring(px, py, L), [True, True, False, True])
+
+    def test_clip_concave(self):
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], float)
+        assert geom.box_clip_area(L, 0.5, 0.5, 2.5, 2.5) == pytest.approx(1.75)
+        assert geom.clip_ring_to_box(L, 10, 10, 11, 11) is None
+
+    def test_intersection_area_box_vs_concave(self):
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]], float)
+        box = geom.box_ring(0.5, 0.5, 2.5, 2.5)
+        assert geom.intersection_area(box, L) == pytest.approx(1.75)
+
+    def test_convex_clip(self):
+        tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], float)
+        assert geom._convex_clip_area(tri, geom.box_ring(1, 1, 3, 3)) == pytest.approx(2.0)
+
+    def test_centroids(self):
+        r = geom.box_ring(0, 0, 2, 4)
+        assert geom.ring_centroid(r) == (1.0, 2.0)
+        assert geom.envelope_centroid(r) == (0.8, 1.6)  # closing point double-counted,
+        # exactly as the reference's envelope-boundary mean (partitions.py:323)
+
+
+class TestCells:
+    def test_roundtrip_bounds(self):
+        lon, lat = 6.13, 49.61
+        cid = cells.cell_of(lon, lat, 12)
+        minlon, minlat, maxlon, maxlat = cells.cell_bounds(cid)
+        assert minlon <= lon < maxlon and minlat <= lat < maxlat
+
+    def test_vectorized_matches_scalar(self):
+        rng = np.random.default_rng(0)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-90, 90, 200)
+        vec = cells.cell_of(lon, lat, 9)
+        for i in range(0, 200, 37):
+            assert cells.cell_of(lon[i], lat[i], 9) == vec[i]
+
+    def test_cover_contains_point_cell(self):
+        cov = set(cells.cells_covering_bbox(5.9, 49.4, 6.5, 50.2, 10).tolist())
+        assert int(cells.cell_of(6.1, 49.8, 10)) in cov
+
+    def test_resolutions_disjoint(self):
+        c1 = cells.cell_of(0.0, 0.0, 5)
+        c2 = cells.cell_of(0.0, 0.0, 6)
+        assert c1 != c2
+
+    def test_pick_resolution(self):
+        r = cells.pick_resolution(0.05)
+        assert 360.0 / (1 << r) >= 0.05 > 360.0 / (1 << (r + 1))

@@ -1,0 +1,191 @@
+"""Grid generation + page→tile assignment conformance (FIXTURES.md F3/F7)."""
+
+import numpy as np
+import pytest
+
+from geetiles_ray.functions import geocode as geo
+from geetiles_ray.pipelines import grid
+from geetiles_ray.sources import pages as pagesmod
+from geetiles_ray.sources import tileset as tsmod
+from geetiles_ray.stages import assign as assignmod
+
+
+@pytest.fixture(scope="module")
+def tiles(aoi_ring):
+    return grid.build_grid(aoi_ring, 5000.0).materialize()
+
+
+@pytest.fixture(scope="module")
+def tiles_df(tiles):
+    return tiles.to_pandas().sort_values("grid_idx").reset_index(drop=True)
+
+
+class TestGrid:
+    def test_row_count_and_coverage(self, tiles_df, aoi_ring):
+        # AOI area ~ (0.7°×0.35° + 0.4°×0.3°) ≈ 0.365 deg² ≈ 2900 km² → ~116+ 5km tiles
+        assert 100 < len(tiles_df) < 160
+        assert tiles_df.identifier.is_unique
+
+    def test_deterministic_rerun(self, tiles_df, aoi_ring):
+        again = grid.build_grid(aoi_ring, 5000.0).to_pandas() \
+            .sort_values("grid_idx").reset_index(drop=True)
+        assert list(again.identifier) == list(tiles_df.identifier)
+
+    def test_area_km2(self, tiles_df):
+        # side = (m-1) meters expressed in degrees → area ≈ 24.99 km² ± projection scale
+        assert tiles_df.area_km2.between(24.9, 25.1).all()
+
+    def test_tiles_inside_or_touching_aoi(self, tiles_df, aoi_ring):
+        from geetiles_ray.functions import geom
+        for _, r in tiles_df.sample(20, random_state=0).iterrows():
+            assert geom.box_clip_area(aoi_ring, r.minx, r.miny, r.maxx, r.maxy) > 0 or \
+                geom.points_in_ring(np.array([r.clon]), np.array([r.clat]), aoi_ring)[0]
+
+    def test_constant_latlon_sides(self, tiles_df):
+        # north-rule / GEE requirement the reference documents (cmds.py:308-310):
+        # tile sides have constant lat and lon
+        from geetiles_ray.functions import geom
+        import pyarrow  # noqa: F401
+        ring = geom.wkb_to_ring(tiles_df.wkb.iloc[0])
+        assert len(np.unique(ring[:, 0])) == 2 and len(np.unique(ring[:, 1])) == 2
+
+    def test_save_load_hash_naming(self, tiles, tmp_path):
+        out = tsmod.save_tileset(tiles, str(tmp_path), "lux", "aschips")
+        assert "lux_partitions_aschips_" in out
+        h = out.rsplit("_", 1)[1]
+        assert len(h) == 13
+        loaded = tsmod.load_tileset(out)
+        assert loaded.count() == tiles.count()
+        aoi, name = tsmod.tileset_name_parts(out)
+        assert (aoi, name) == ("lux", "aschips")
+
+    def test_name_validation(self, tiles, tmp_path):
+        with pytest.raises(ValueError):
+            tsmod.save_tileset(tiles, str(tmp_path), "lux", "bad_name")
+        with pytest.raises(ValueError):
+            tsmod.save_tileset(tiles, str(tmp_path), "lux", "mypartitionsx")
+
+    def test_geojson_roundtrip(self, tiles, tmp_path):
+        p = tsmod.export_geojson(tiles, str(tmp_path / "t.geojson"))
+        back = tsmod.import_geojson(p)
+        a = sorted(tiles.to_pandas().identifier)
+        b = sorted(back.to_pandas().identifier)
+        assert a == b  # identifiers re-derived from geometry → bit-stable round trip
+
+    def test_utm_clipped_grid(self, aoi_ring):
+        ds = grid.build_grid_utm_clipped(aoi_ring, 20000.0).materialize()
+        df = ds.to_pandas()
+        assert len(df) > 4
+        # clipped tiles sum to ~the AOI area
+        from geetiles_ray.functions import crs as crsmod, geom
+        cx, cy = geom.ring_centroid(aoi_ring)
+        zone, north = crsmod.utm_zone(cx, cy)
+        e, n = crsmod.lonlat_to_utm(aoi_ring[:, 0], aoi_ring[:, 1], zone, north)
+        aoi_km2 = geom.shoelace_area(np.column_stack([e, n])) / 1e6
+        assert df.area_km2.sum() == pytest.approx(aoi_km2, rel=0.02)
+
+    def test_random_partitions_seeded(self, aoi_ring):
+        a = grid.make_random_partitions(aoi_ring, 20000.0, seed=7).to_pandas()
+        b = grid.make_random_partitions(aoi_ring, 20000.0, seed=7).to_pandas()
+        c = grid.make_random_partitions(aoi_ring, 20000.0, seed=8).to_pandas()
+        assert list(a.identifier) == list(b.identifier)
+        assert list(a.identifier) != list(c.identifier)
+        assert (a.area_km2 <= 20.0**2 * 1.5).all()
+
+    def test_select_intersecting(self, tiles, aoi_ring):
+        sub_aoi = np.array([[5.9, 49.5], [6.1, 49.5], [6.1, 49.7], [5.9, 49.7], [5.9, 49.5]])
+        sel = grid.select_intersecting(tiles, sub_aoi).to_pandas()
+        full = tiles.to_pandas()
+        assert 0 < len(sel) < len(full)
+        # every selected tile's bbox overlaps the sub AOI
+        assert ((sel.minx <= 6.1) & (sel.maxx >= 5.9)
+                & (sel.miny <= 49.7) & (sel.maxy >= 49.5)).all()
+
+
+class TestAssign:
+    @pytest.fixture(scope="class")
+    def assigned(self, tiles):
+        pages = pagesmod.generate_pages(5000)
+        return assignmod.assign_pages(pages, tiles, concurrency=2).to_pandas()
+
+    def test_every_page_exactly_one_tile(self, assigned):
+        assert (assigned.tile_id != "").all()
+        assert len(assigned) == 5000
+
+    def test_oracle_brute_force(self, assigned, tiles_df):
+        t = tiles_df
+        for _, r in assigned.sample(300, random_state=1).iterrows():
+            inside = t[(t.minx <= r.lon) & (t.maxx >= r.lon)
+                       & (t.miny <= r.lat) & (t.maxy >= r.lat)]
+            if len(inside):
+                d2 = (inside.clon - r.lon) ** 2 + (inside.clat - r.lat) ** 2
+                expect = inside.identifier.iloc[int(np.argmin(d2.values))]
+            else:
+                d2 = (t.clon - r.lon) ** 2 + (t.clat - r.lat) ** 2
+                expect = t.identifier.iloc[int(np.argmin(d2.values))]
+            assert expect == r.tile_id
+
+    def test_stable_across_parallelism(self, assigned, tiles):
+        pages = pagesmod.generate_pages(5000, override_num_blocks=7)
+        again = assignmod.assign_pages(pages, tiles, concurrency=1, batch_size=911) \
+            .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+        ref = assigned.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+        assert (again.tile_id == ref.tile_id).all()
+
+    def test_cell_join_path_matches_broadcast(self, assigned, tiles):
+        import ray.data
+        uniq = assigned.drop_duplicates("url")
+        geop = ray.data.from_pandas(uniq[["url", "lon", "lat"]])
+        cj = assignmod.assign_by_cell_join(geop, tiles, res=8, salt=2).to_pandas()
+        merged = uniq.merge(cj, on="url", suffixes=("", "_cj"))
+        assert len(merged) == len(uniq)
+        assert (merged.tile_id == merged.tile_id_cj).mean() > 0.999
+
+    def test_knn(self, tiles, tiles_df):
+        pages = pagesmod.generate_pages(200)
+        out = assignmod.assign_pages(pages, tiles, concurrency=1, knn_k=3).to_pandas()
+        assert out.knn_3.map(len).eq(3).all()
+        r = out.iloc[17]
+        d2 = ((tiles_df.clon - r.lon) ** 2 + (tiles_df.clat - r.lat) ** 2).values
+        expect = list(tiles_df.identifier.values[np.argsort(d2, kind="stable")[:3]])
+        assert list(r.knn_3) == expect
+
+    def test_hot_cell_skew_exists(self, assigned):
+        # fixture guarantees dense cells (FIXTURES.md F1): top-2 cells ≥ 30%
+        counts = assigned.cell_id.value_counts()
+        assert counts.iloc[:2].sum() / len(assigned) > 0.15
+
+
+class TestPagesFixture:
+    def test_text_byte_identical_per_url(self):
+        df = pagesmod.generate_pages(2000).to_pandas()
+        for _, r in df.sample(100, random_state=0).iterrows():
+            assert r.text == pagesmod.expected_text(r.url)
+        # duplicate urls carry identical text
+        dups = df[df.url.duplicated(keep=False)]
+        assert len(dups) > 0
+        assert dups.groupby("url").text.nunique().eq(1).all()
+
+    def test_extract_text_inverse(self):
+        ds = pagesmod.generate_pages(500).map_batches(
+            pagesmod.extract_text_batch, batch_format="pyarrow")
+        df = ds.to_pandas()
+        assert (df.text_extracted == df.text).all()
+
+    def test_dup_rate(self):
+        df = pagesmod.generate_pages(10000).to_pandas()
+        dup_frac = df.url.duplicated().mean()
+        assert 0.015 < dup_frac < 0.025
+
+    def test_deterministic(self):
+        a = pagesmod.generate_pages(1000, override_num_blocks=2).to_pandas()
+        b = pagesmod.generate_pages(1000, override_num_blocks=13).to_pandas()
+        a = a.sort_values("url").reset_index(drop=True)
+        b = b.sort_values("url").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_geocode_in_aoi(self):
+        df = pagesmod.generate_pages(1000).to_pandas()
+        lon, lat = geo.geocode(df.url.tolist(), df.lang.to_numpy())
+        assert (lon >= geo.AOI_W).all() and (lon < geo.AOI_E).all()
+        assert (lat >= geo.AOI_S).all() and (lat < geo.AOI_N).all()
