@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Default: runs the flagship pipeline (generate pages → dedup-by-url →
+html→text extraction → geocode → tile assignment → per-tile lang counts)
+over a deterministic synthetic page table, plus the oracle query suite over
+$GRAFT_SF_DIR, and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
+on the SAME input and reports both throughputs + scaling efficiency
+(the sandbox substitute for the N vs 4N cluster criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000000"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
+                 "pricing_summary", "top_customers", "events_hourly",
+                 "token_stats", "knn_pages"]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from geetiles_ray.ray_tuning import tune
+
+    tune(NCPU)
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    for name in os.listdir(SF_DIR):
+        with open(os.path.join(SF_DIR, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    from geetiles_ray.pipelines import flagship
+    from geetiles_ray.pipelines.queries import REGISTRY
+    from geetiles_ray.sources import pages as pagesmod
+
+    tiles = flagship.build_fixture_tileset()
+    n_tiles = tiles.count()
+
+    t0 = time.time()
+    assigned, counts = flagship.run(
+        pagesmod.generate_pages(N_PAGES), tiles=tiles,
+        concurrency=(2, max(2, NCPU // 2)), batch_size=8192)
+    assigned = assigned.materialize()          # one full pipeline execution
+    n_assigned = assigned.count()
+    join_rows = counts.count() if False else None  # counts recomputes lineage
+    from geetiles_ray.pipelines import dedup as dedupmod
+    tile_counts = dedupmod.partial_counts(assigned, ["tile_id", "lang"],
+                                          "n_pages").materialize()
+    n_join = tile_counts.count()
+    headline = time.time() - t0
+    del assigned
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not hasattr(res, "count") else res.count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "flagship pages->tiles pipeline wall time "
+                  "(dedup+extract+geocode+assign+per-tile counts)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "num_cpus": NCPU,
+        "n_pages": N_PAGES,
+        "n_tiles": int(n_tiles),
+        "n_assigned_rows": int(n_assigned),
+        "n_tile_lang_rows": int(n_join),
+        "pages_per_sec": round(N_PAGES / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_PAGES=str(N_PAGES))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (8→32 CPUs, fresh processes, same input)",
+        "n_pages": N_PAGES,
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

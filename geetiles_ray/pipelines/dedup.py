@@ -61,28 +61,64 @@ def dedup_exact(
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def _finalize_partials(
+    partial: ray.data.Dataset, group_cols: list[str], alias: str, reduce: str
+) -> ray.data.Dataset:
+    """Merge per-batch partial rows into final per-key rows.
+
+    reduce="driver": stream the (already tiny) partials to the driver and
+    fold them with a bounded-memory pandas groupby — no all-to-all shuffle
+    at all. Right whenever |keys| is small relative to |rows| (tile×lang,
+    per-lang stats, …): the data moved is |keys| rows per input block.
+
+    reduce="shuffle": a Ray Data groupby over the partials — right when the
+    key space itself is big (per-url, per-user) and the fold wouldn't fit
+    one node.
+    """
+    from ray.data.aggregate import Sum
+
+    if reduce == "shuffle":
+        return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=alias))
+
+    acc: list[pd.DataFrame] = []
+    merged = None
+    for b in partial.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        acc.append(b.to_pandas())
+        if len(acc) >= 64:
+            frames = ([merged] if merged is not None else []) + acc
+            merged = pd.concat(frames).groupby(group_cols, as_index=False)["__partial"].sum()
+            acc = []
+    frames = ([merged] if merged is not None else []) + acc
+    if not frames:
+        return partial.rename_columns({"__partial": alias})
+    out = pd.concat(frames).groupby(group_cols, as_index=False)["__partial"].sum() \
+        .rename(columns={"__partial": alias})
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None))
+
+
 def partial_counts(
-    ds: ray.data.Dataset, group_cols: list[str], count_alias: str = "n"
+    ds: ray.data.Dataset, group_cols: list[str], count_alias: str = "n",
+    reduce: str = "driver",
 ) -> ray.data.Dataset:
     """Pre-aggregated count-by-key: each batch emits one row per key present
-    (vectorized Arrow group_by), then a tiny global groupby-sum. This is the
-    combiner pattern — the all-to-all shuffle moves |keys| rows per block,
-    not |rows| (SURVEY.md §4 skew note)."""
-    from ray.data.aggregate import Sum
+    (vectorized Arrow group_by), then the partials are merged (see
+    _finalize_partials). This is the combiner pattern — only |keys| rows per
+    block leave the map stage (SURVEY.md §4 skew note)."""
 
     def local(batch: pa.Table) -> pa.Table:
         return batch.group_by(group_cols).aggregate([([], "count_all")]) \
             .rename_columns(group_cols + ["__partial"])
 
     partial = ds.select_columns(group_cols).map_batches(local, batch_format="pyarrow")
-    return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=count_alias))
+    return _finalize_partials(partial, group_cols, count_alias, reduce)
 
 
 def partial_sums(
-    ds: ray.data.Dataset, group_cols: list[str], value_col: str, sum_alias: str
+    ds: ray.data.Dataset, group_cols: list[str], value_col: str, sum_alias: str,
+    reduce: str = "driver",
 ) -> ray.data.Dataset:
     """Pre-aggregated sum-by-key (same combiner pattern as partial_counts)."""
-    from ray.data.aggregate import Sum
 
     def local(batch: pa.Table) -> pa.Table:
         return batch.group_by(group_cols).aggregate([(value_col, "sum")]) \
@@ -90,4 +126,4 @@ def partial_sums(
 
     partial = ds.select_columns(group_cols + [value_col]) \
         .map_batches(local, batch_format="pyarrow")
-    return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=sum_alias))
+    return _finalize_partials(partial, group_cols, sum_alias, reduce)

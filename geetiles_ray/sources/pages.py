@@ -58,21 +58,31 @@ def url_of_index(i: int, lang: str) -> str:
     return f"https://{lang}.site{i % N_HOSTS}.example/{i:08d}"
 
 
+_VOCAB_ARR = np.array(_VOCAB, dtype=object)
+
+
 def expected_text(url: str) -> str:
-    """The text oracle: words from a fixed 64-word vocab driven by the
-    sha256 stream of the url. Pure function of url (so duplicate crawls of
-    a url carry byte-identical text — north-rule invariant)."""
-    d = hashlib.sha256(url.encode("utf-8")).digest()
-    n_words = 20 + d[0] % 30
-    words = []
-    stream = d
-    j = 0
-    while len(words) < n_words:
-        if j >= len(stream):
-            stream = stream + hashlib.sha256(stream[-32:]).digest()
-        words.append(_VOCAB[stream[j] % 64])
-        j += 1
-    return " ".join(words)
+    """The text oracle: words from a fixed 64-word vocab driven by the sha256
+    digest of the url — word j is ``VOCAB[(digest[j % 32] + j) % 64]``,
+    length ``20 + digest[0] % 30``. Pure function of url (so duplicate
+    crawls of a url carry byte-identical text — north-rule invariant)."""
+    return expected_texts([url])[0]
+
+
+def expected_texts(urls) -> list[str]:
+    """Vectorized batch form of expected_text (the hot generator path)."""
+    n = len(urls)
+    if n == 0:
+        return []
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(u.encode("utf-8")).digest() for u in urls),
+        dtype=np.uint8).reshape(n, 32)
+    n_words = 20 + (digests[:, 0] % 30).astype(np.int64)
+    max_w = int(n_words.max())
+    j = np.arange(max_w)
+    idx = (digests[:, j % 32].astype(np.int64) + j[None, :]) % 64
+    words = _VOCAB_ARR[idx]
+    return [" ".join(words[i, :n_words[i]]) for i in range(n)]
 
 
 def html_of_text(text: str) -> bytes:
@@ -87,10 +97,10 @@ def _gen_batch(batch: pa.Table) -> pa.Table:
     src = np.where(is_dup, idx - 1, idx)
     langs = lang_of_index(src)
     urls = [url_of_index(int(s), lg) for s, lg in zip(src, langs)]
-    texts = [expected_text(u) for u in urls]
+    texts = expected_texts(urls)
     htmls = [html_of_text(t) for t in texts]
-    ts = [_EPOCH + timedelta(seconds=int(i)) + (timedelta(hours=1) if d else timedelta(0))
-          for i, d in zip(idx, is_dup)]
+    ts_us = idx.astype("int64") * 1_000_000 + np.where(is_dup, 3_600_000_000, 0)
+    ts = (np.datetime64(_EPOCH, "us") + ts_us.astype("timedelta64[us]"))
     return pa.table({
         "url": pa.array(urls, type=pa.string()),
         "warc_ts": pa.array(ts, type=pa.timestamp("us")),
@@ -101,6 +111,10 @@ def _gen_batch(batch: pa.Table) -> pa.Table:
 
 
 def generate_pages(n: int, override_num_blocks: int | None = None) -> ray.data.Dataset:
+    if override_num_blocks is None:
+        # ~25k rows per generator task: large enough that task dispatch /
+        # object-store put overhead is <5%, small enough to parallelize
+        override_num_blocks = max(8, min(n // 25000, 2048))
     return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
         _gen_batch, batch_format="pyarrow", batch_size=8192
     )

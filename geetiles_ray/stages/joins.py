@@ -1,0 +1,169 @@
+"""Foreign-tileset joins (SURVEY.md §2.4): the Ray-Data rebuild of the
+reference's O(n·m) driver-side spatial joins.
+
+J1 ``add_foreign_partition`` (partitions.py:296-305, 468-482): for each tile
+of the fine tileset, the id of the intersecting foreign geometry with the
+LARGEST intersection area, or "-1" when none intersects. (The reference
+mixes a string id with int -1 in one pandas column; we emit the string
+"-1" — same information, typed column.)
+
+J2 ``add_foreign_proportions`` (partitions.py:274-294, 484-507): per fine
+tile, the area-weighted average of the intersecting foreign tiles'
+proportion dicts (weights = intersection areas normalized), plus the
+dominant foreign id.
+
+Execution: the foreign side is the coarse/small one (communes vs chips in
+the reference README walk-through) → broadcast once via ``ray.put``; each
+actor builds a bbox-bucket index over it in ``__init__`` and processes fine
+tiles in vectorized-candidate batches. Intersection areas are computed in
+EPSG:4326 degree space, exactly like the reference's shapely ``.area`` on
+4326 geometries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import geom
+
+
+def broadcast_foreign(foreign: ray.data.Dataset,
+                      proportions_col: str | None = None) -> "ray.ObjectRef":
+    """Collect the foreign tileset (id, ring coords, bounds [+ proportions])
+    and ``ray.put`` it once."""
+    cols = ["identifier", "wkb", "minx", "miny", "maxx", "maxy"]
+    if proportions_col:
+        cols.append(proportions_col)
+    rows = {c: [] for c in cols}
+    for b in foreign.select_columns(cols).iter_batches(batch_size=65536,
+                                                       batch_format="pyarrow"):
+        for c in cols:
+            rows[c].append(b[c])
+    out = {c: pa.concat_arrays([a.combine_chunks() if hasattr(a, "combine_chunks")
+                                else a for a in rows[c]]) for c in cols}
+    data = {
+        "identifier": np.asarray(out["identifier"].to_pylist(), dtype=object),
+        "rings": [geom.wkb_to_ring(w) for w in out["wkb"].to_pylist()],
+        "bounds": np.column_stack([
+            out["minx"].to_numpy(), out["miny"].to_numpy(),
+            out["maxx"].to_numpy(), out["maxy"].to_numpy()]),
+    }
+    if proportions_col:
+        # Arrow map columns round-trip as lists of (key, value) tuples
+        data["proportions"] = [dict(p) if p is not None else {}
+                               for p in out[proportions_col].to_pylist()]
+    return ray.put(data)
+
+
+class _ForeignIndex:
+    def __init__(self, data):
+        self.identifier = data["identifier"]
+        self.rings = data["rings"]
+        self.bounds = data["bounds"]
+        self.proportions = data.get("proportions")
+
+    def candidates(self, minx, miny, maxx, maxy) -> np.ndarray:
+        b = self.bounds
+        return np.nonzero(~((b[:, 2] < minx) | (b[:, 0] > maxx)
+                            | (b[:, 3] < miny) | (b[:, 1] > maxy)))[0]
+
+    def weights(self, tile_bounds):
+        """Intersection areas of one fine tile (axis-aligned box) against all
+        bbox-candidate foreign rings."""
+        minx, miny, maxx, maxy = tile_bounds
+        cand = self.candidates(minx, miny, maxx, maxy)
+        areas = np.array([
+            geom.box_clip_area(self.rings[i], minx, miny, maxx, maxy)
+            for i in cand])
+        keep = areas > 0
+        return cand[keep], areas[keep]
+
+
+class ForeignAssigner:
+    """Actor stage appending ``foreignid_{name}`` (J1) and optionally the
+    area-weighted foreign proportions map column (J2)."""
+
+    def __init__(self, foreign_ref, name: str, with_proportions: bool = False,
+                 proportions_out: str | None = None):
+        self.index = _ForeignIndex(ray.get(foreign_ref))
+        self.id_col = f"foreignid_{name}"
+        self.with_proportions = with_proportions
+        self.proportions_out = proportions_out or "foreign_proportions"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        minx = batch["minx"].to_numpy(); miny = batch["miny"].to_numpy()
+        maxx = batch["maxx"].to_numpy(); maxy = batch["maxy"].to_numpy()
+        fids = np.empty(n, dtype=object)
+        props: list = []
+        for i in range(n):
+            cand, w = self.index.weights((minx[i], miny[i], maxx[i], maxy[i]))
+            if len(cand) == 0:
+                fids[i] = "-1"
+                props.append({})
+                continue
+            fids[i] = self.index.identifier[cand[np.argmax(w)]]
+            if self.with_proportions:
+                wn = w / w.sum()
+                acc: dict[str, float] = {}
+                for ci, wi in zip(cand, wn):
+                    for k, v in (self.index.proportions[ci] or {}).items():
+                        acc[k] = acc.get(k, 0.0) + wi * float(v)
+                props.append(acc)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols[self.id_col] = pa.array(list(fids), type=pa.string())
+        if self.with_proportions:
+            cols[self.proportions_out] = pa.array(
+                [sorted(p.items()) for p in props],
+                type=pa.map_(pa.string(), pa.float64()))
+        return pa.table(cols)
+
+
+def add_foreign_partition(tiles: ray.data.Dataset, foreign: ray.data.Dataset,
+                          name: str, concurrency: int | tuple = 4) -> ray.data.Dataset:
+    """J1: largest-overlap foreign id per tile (broadcast join)."""
+    ref = broadcast_foreign(foreign)
+    return tiles.map_batches(
+        ForeignAssigner, fn_constructor_kwargs=dict(foreign_ref=ref, name=name),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+def add_foreign_proportions(tiles: ray.data.Dataset, foreign: ray.data.Dataset,
+                            name: str, proportions_col: str,
+                            out_col: str | None = None,
+                            concurrency: int | tuple = 4) -> ray.data.Dataset:
+    """J2: area-weighted proportions transfer + dominant foreign id.
+
+    ``proportions_col`` on the foreign side is a map<string,double> column
+    (e.g. the output of props.add_proportions). Output column name follows
+    the reference convention ``{dataset}_proportions_at_{foreign_name}``
+    when out_col is None.
+    """
+    ref = broadcast_foreign(foreign, proportions_col=proportions_col)
+    out = out_col or f"{proportions_col}_at_{name}"
+    return tiles.map_batches(
+        ForeignAssigner,
+        fn_constructor_kwargs=dict(foreign_ref=ref, name=name,
+                                   with_proportions=True, proportions_out=out),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+
+def semi_join_ids(ds: ray.data.Dataset, ids, col: str = "identifier",
+                  anti: bool = False) -> ray.data.Dataset:
+    """J5: semi/anti join against a broadcast id set (cmds.py:540-554
+    analogue — prune rows whose id is (not) in the included set)."""
+    id_ref = ray.put(frozenset(ids))
+
+    class Filter:
+        def __init__(self):
+            self.ids = ray.get(id_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[col].to_pylist()
+            mask = np.array([v in self.ids for v in vals])
+            return batch.filter(pa.array(~mask if anti else mask))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2)

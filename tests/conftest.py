@@ -10,9 +10,8 @@ import ray.data
 def ray_session():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    ctx = ray.data.DataContext.get_current()
-    ctx.enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from geetiles_ray.ray_tuning import tune
+    tune(4)
     yield
     ray.shutdown()
 

@@ -70,12 +70,11 @@ def main():
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR")
-    import ray.data
-
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-
     sys.path.insert(0, "/root/repo")
+    from geetiles_ray.ray_tuning import tune
+
+    tune(8)
+
     import __ray_entry__ as mod
 
     con = duckdb.connect()
