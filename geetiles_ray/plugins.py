@@ -1,0 +1,159 @@
+"""Dataset-definition plugin protocol (SURVEY.md §2.10) — the duck-typed
+extension surface of the reference (utils.py:94-125 loads a class named
+``DatasetDefinition`` from geetiles defs or an arbitrary user .py file).
+
+Hooks (all optional except the first two), mapped to engine stages:
+
+    get_dataset_name()                  → output dir / column prefix
+    render(identifier, ring, shape)     → the source expression: returns the
+                                          (H, W, C) array for a tile, or
+                                          None to skip (the reference's
+                                          get_gee_image may return None,
+                                          defs/globalfloods.py:83-106).
+                                          In this sandbox rendering is
+                                          deterministic synthesis — the
+                                          remote GEE fetch (gee.py:261-368)
+                                          is a network source we replace.
+    get_dtype()                         → storage dtype
+    get_band_names()                    → band order (gee.py:357-360)
+    map_values(array)                   → relabel before proportions/export
+    build()                             → one-time bootstrap → actor __init__
+    post_process_tile(array, meta)      → rewrite hook (gee.py:362-364)
+    on_error(identifier, exc)           → '.nodata' policy
+                                          (defs/s1grdobs.py:169-178)
+    include_chip_in_dataset(chip)       → export filter (cmds.py:527-529)
+
+``load_plugin`` resolves by registry name or a user .py path defining a
+``DatasetDefinition`` class — same lookup contract as the reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .functions import valuemaps
+
+
+class DatasetDefinition:
+    """Base with default hook implementations."""
+
+    def get_dataset_name(self) -> str:
+        raise NotImplementedError
+
+    def get_dtype(self) -> str:
+        return "uint8"
+
+    def get_band_names(self) -> list[str]:
+        return ["b0"]
+
+    def build(self) -> None:
+        pass
+
+    def render(self, identifier: str, ring: np.ndarray, shape) -> np.ndarray | None:
+        raise NotImplementedError
+
+    def map_values(self, array: np.ndarray) -> np.ndarray:
+        return array
+
+    def post_process_tile(self, array: np.ndarray, meta: dict) -> np.ndarray:
+        return array
+
+    def on_error(self, identifier: str, exc: Exception) -> str:
+        """Return 'nodata' to emit a nodata row (the reference touches a
+        .nodata sentinel file), or 'raise' to propagate."""
+        return "raise"
+
+    def include_chip_in_dataset(self, chip: dict) -> bool:
+        return True
+
+
+def _tile_seed(identifier: str) -> int:
+    return int(hashlib.sha256(identifier.encode()).hexdigest()[:12], 16)
+
+
+class WorldCoverLike(DatasetDefinition):
+    """Categorical land-cover analogue of defs/esaworldcover.py: classes
+    {0, 10, 20, ..., 100}, value-mapped to 0..11 before proportions."""
+
+    CLASSES = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100]
+    VALUE_MAP = {0: 0, 10: 1, 20: 2, 30: 3, 40: 4, 50: 5, 60: 6, 70: 7,
+                 80: 8, 90: 9, 95: 10, 100: 11}
+
+    def get_dataset_name(self) -> str:
+        return "worldcoverlike"
+
+    def get_dtype(self) -> str:
+        return "uint8"
+
+    def get_band_names(self) -> list[str]:
+        return ["Map"]
+
+    def render(self, identifier, ring, shape):
+        """Deterministic class layout: smooth-ish fields from the tile seed —
+        vertical stripes of 2-4 classes so proportions have closed forms."""
+        h, w = shape[:2]
+        rng = np.random.default_rng(_tile_seed(identifier))
+        k = int(rng.integers(2, 5))
+        classes = rng.choice(self.CLASSES[1:], size=k, replace=False)
+        edges = np.sort(rng.choice(np.arange(1, w), size=k - 1, replace=False))
+        col_class = np.empty(w, dtype=np.uint8)
+        start = 0
+        for i, e in enumerate(list(edges) + [w]):
+            col_class[start:e] = classes[i]
+            start = e
+        return np.repeat(col_class[None, :], h, axis=0)[:, :, None]
+
+    def map_values(self, array):
+        return valuemaps.apply_value_map(array, dict(self.VALUE_MAP))
+
+
+class ElevationLike(DatasetDefinition):
+    """Continuous float32 analogue of defs/humanpop2015.py /
+    treecover2020.py: rendered gradient field, range-mapped to classes."""
+
+    RANGE_MAP = [10.0, 50.0, 200.0]
+
+    def get_dataset_name(self) -> str:
+        return "elevationlike"
+
+    def get_dtype(self) -> str:
+        return "float32"
+
+    def get_band_names(self) -> list[str]:
+        return ["elev"]
+
+    def render(self, identifier, ring, shape):
+        h, w = shape[:2]
+        seed = _tile_seed(identifier)
+        base = (seed % 1000) / 2.0
+        yy, xx = np.mgrid[0:h, 0:w]
+        return (base + xx * 300.0 / w + yy * 10.0 / h).astype(np.float32)[:, :, None]
+
+    def map_values(self, array):
+        return valuemaps.apply_range_map(array, list(self.RANGE_MAP))
+
+    def include_chip_in_dataset(self, chip):
+        # analogue of humanpop's sparse-chip filter (defs/humanpop2015.py:25-30)
+        lp = chip.get("label_proportions") or {}
+        return lp.get("0", 1.0) < 0.999
+
+
+_REGISTRY = {
+    "worldcoverlike": WorldCoverLike,
+    "elevationlike": ElevationLike,
+}
+
+
+def load_plugin(name_or_path: str) -> DatasetDefinition:
+    """Resolve a dataset definition by registry name or user .py file path
+    (the reference exec-loads arbitrary files, utils.py:105-121)."""
+    if name_or_path in _REGISTRY:
+        return _REGISTRY[name_or_path]()
+    if name_or_path.endswith(".py"):
+        ns: dict = {}
+        with open(name_or_path) as f:
+            exec(f.read(), ns)
+        return ns["DatasetDefinition"]()
+    raise ValueError(f"unknown dataset definition: {name_or_path}")

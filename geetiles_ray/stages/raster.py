@@ -1,0 +1,400 @@
+"""Raster tile materialization + label proportions + mosaic + export
+(SURVEY.md §2.1 S6/S8/S10/S11, §2.5 A1/A5).
+
+The reference's per-tile flow is: GEE fetch → {identifier}.tif on disk →
+later stages re-read each tif by filename. Here the raster set is a
+DATASET (one row per tile: identifier, band_names, shape, pixels-bytes,
+dtype, nodata) that streams between stages through the object store; the
+GeoTIFF directory layout is a compatibility SINK, not the interchange
+format (SURVEY.md §1.5 mapping).
+
+Stages:
+- RenderTiles (S6 analogue): actor pool; plugin.build() once per actor
+  (the reference's multiprocessing initializer, gee.py:141-150), render +
+  post_process per tile, per-row on_error → nodata rows (dead-letter,
+  not crashes).
+- proportions (A1): raster rows → map_values → geometry mask → bincount →
+  map<string,double>. No shuffle: raster bytes stay row-local.
+- mosaic (S11): bounds aggregate (A5) → place tiles in identifier-sorted
+  order, later nonzero pixels overwriting (cmds.py:628-702 semantics incl.
+  the sorted-listdir order T4).
+- write_geotiff_layout / read_geotiff_layout: the reference's on-disk
+  contract {dest}/{dataset}/{identifier}.tif (partitions.py:149-153).
+- pack_chips + zip sink (S10): per-tile pickle payloads, include-chip hook.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import zipfile
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import geom, tiff, valuemaps
+from ..plugins import DatasetDefinition, load_plugin
+
+RASTER_SCHEMA_COLS = ["identifier", "band_names", "shape", "pixels", "dtype", "nodata"]
+
+
+class RenderTiles:
+    """tileset rows → raster rows. ``plugin`` may be a name or instance."""
+
+    def __init__(self, plugin: str | DatasetDefinition, pixels_hw=(100, 100)):
+        self.plugin = load_plugin(plugin) if isinstance(plugin, str) else plugin
+        self.plugin.build()  # once per actor (ST1/ST2)
+        self.h, self.w = pixels_hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["identifier"].to_pylist()
+        wkbs = batch["wkb"].to_pylist()
+        out = {c: [] for c in RASTER_SCHEMA_COLS}
+        dt = self.plugin.get_dtype()
+        names = self.plugin.get_band_names()
+        for ident, w in zip(ids, wkbs):
+            ring = geom.wkb_to_ring(w)
+            try:
+                arr = self.plugin.render(ident, ring, (self.h, self.w))
+                if arr is None:
+                    raise ValueError("plugin returned None (skip)")
+                arr = self.plugin.post_process_tile(arr, {"identifier": ident})
+                arr = np.ascontiguousarray(arr.astype(dt))
+                out["identifier"].append(ident)
+                out["band_names"].append(names)
+                out["shape"].append(list(arr.shape))
+                out["pixels"].append(arr.tobytes())
+                out["dtype"].append(dt)
+                out["nodata"].append(False)
+            except Exception as e:
+                if self.plugin.on_error(ident, e) != "nodata":
+                    raise
+                out["identifier"].append(ident)
+                out["band_names"].append(names)
+                out["shape"].append([0, 0, 0])
+                out["pixels"].append(b"")
+                out["dtype"].append(dt)
+                out["nodata"].append(True)
+        return pa.table({
+            "identifier": pa.array(out["identifier"], type=pa.string()),
+            "band_names": pa.array(out["band_names"], type=pa.list_(pa.string())),
+            "shape": pa.array(out["shape"], type=pa.list_(pa.int32())),
+            "pixels": pa.array(out["pixels"], type=pa.binary()),
+            "dtype": pa.array(out["dtype"], type=pa.string()),
+            "nodata": pa.array(out["nodata"], type=pa.bool_()),
+        })
+
+
+def render_tiles(tiles: ray.data.Dataset, plugin: str | DatasetDefinition,
+                 pixels_hw=(100, 100), concurrency: int | tuple = 4,
+                 batch_size: int = 256) -> ray.data.Dataset:
+    """Large binary rows → small batch_size so batch × concurrency fits the
+    worker heap (a 100×100×3 uint8 tile is 30 KB; 256/batch ≈ 8 MB)."""
+    return tiles.select_columns(["identifier", "wkb"]).map_batches(
+        RenderTiles, fn_constructor_kwargs=dict(plugin=plugin, pixels_hw=pixels_hw),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def _decode_row(shape, pixels, dtype) -> np.ndarray:
+    return np.frombuffer(pixels, dtype=dtype).reshape(tuple(shape))
+
+
+class ComputeProportions:
+    """A1 (partitions.py:447-468): per raster row, map values, mask to
+    geometry (broadcast identifier→ring map), normalized class counts."""
+
+    def __init__(self, plugin: str | DatasetDefinition, rings_ref, out_col: str):
+        self.plugin = load_plugin(plugin) if isinstance(plugin, str) else plugin
+        self.rings = ray.get(rings_ref)
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["identifier"].to_pylist()
+        shapes = batch["shape"].to_pylist()
+        pix = batch["pixels"].to_pylist()
+        dts = batch["dtype"].to_pylist()
+        nodata = batch["nodata"].to_pylist()
+        props = []
+        for i in range(len(batch)):
+            if nodata[i]:
+                props.append([])
+                continue
+            img = _decode_row(shapes[i], pix[i], dts[i])
+            img = self.plugin.map_values(img)
+            ring = self.rings.get(ids[i])
+            if ring is not None:
+                mask = valuemaps.binary_mask(ring, img.shape)
+                img = img[mask == 1]
+            vals, counts = np.unique(img, return_counts=True)
+            total = counts.sum()
+            props.append(sorted(
+                (str(int(k) if float(k).is_integer() else k), v / total)
+                for k, v in zip(vals, counts)))
+        return pa.table({
+            "identifier": batch["identifier"],
+            self.out_col: pa.array(props, type=pa.map_(pa.string(), pa.float64())),
+        })
+
+
+def broadcast_rings(tiles: ray.data.Dataset) -> "ray.ObjectRef":
+    rings = {}
+    for b in tiles.select_columns(["identifier", "wkb"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        for ident, w in zip(b["identifier"].to_pylist(), b["wkb"].to_pylist()):
+            rings[ident] = geom.wkb_to_ring(w)
+    return ray.put(rings)
+
+
+def compute_proportions(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
+                        plugin: str | DatasetDefinition,
+                        out_col: str | None = None,
+                        concurrency: int | tuple = 4) -> ray.data.Dataset:
+    p = load_plugin(plugin) if isinstance(plugin, str) else plugin
+    out = out_col or f"{p.get_dataset_name()}_proportions"
+    rings_ref = broadcast_rings(tiles)
+    return rasters.map_batches(
+        ComputeProportions,
+        fn_constructor_kwargs=dict(plugin=p, rings_ref=rings_ref, out_col=out),
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency)
+
+
+# ------------------------------------------------------------------- sinks
+
+def write_geotiff_layout(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
+                         dest_dir: str, dataset_name: str,
+                         skip_if_exists: bool = True) -> int:
+    """The reference's on-disk layout: {dest_dir}/{dataset_name}/{id}.tif
+    (partitions.py:149-153, gee.py:252-259), with real (minimal) GeoTIFFs.
+    ``skip_if_exists`` is the resume contract (gee.py:267-274). Returns the
+    number of files written."""
+    out_dir = os.path.join(dest_dir, dataset_name)
+    os.makedirs(out_dir, exist_ok=True)
+    bounds_ref = ray.put(_bounds_map(tiles))
+
+    class Writer:
+        def __init__(self):
+            self.bounds = ray.get(bounds_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_written = 0
+            for i in range(len(batch)):
+                ident = batch["identifier"][i].as_py()
+                path = os.path.join(out_dir, f"{ident}.tif")
+                if batch["nodata"][i].as_py():
+                    with open(path + ".nodata", "w"):
+                        pass
+                    continue
+                if skip_if_exists and os.path.exists(path):
+                    continue
+                arr = _decode_row(batch["shape"][i].as_py(),
+                                  batch["pixels"][i].as_py(),
+                                  batch["dtype"][i].as_py())
+                tiff.write_tiff(path, arr, bounds=self.bounds.get(ident),
+                                band_names=batch["band_names"][i].as_py())
+                n_written += 1
+            return pa.table({"written": pa.array([n_written])})
+
+    res = rasters.map_batches(Writer, batch_format="pyarrow", batch_size=256,
+                              concurrency=2).to_pandas()
+    return int(res.written.sum())
+
+
+def _bounds_map(tiles: ray.data.Dataset) -> dict:
+    out = {}
+    for b in tiles.select_columns(["identifier", "minx", "miny", "maxx", "maxy"]) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for ident, a, bb, c, d in zip(b["identifier"].to_pylist(),
+                                      b["minx"].to_numpy(), b["miny"].to_numpy(),
+                                      b["maxx"].to_numpy(), b["maxy"].to_numpy()):
+            out[ident] = (a, bb, c, d)
+    return out
+
+
+def read_geotiff_layout(dir_path: str) -> ray.data.Dataset:
+    """S8: read a {dataset}/{identifier}.tif directory back into a raster
+    Dataset (readable also for tifs we didn't write, as long as they're
+    baseline little-endian uncompressed)."""
+    paths = sorted(p for p in os.listdir(dir_path) if p.endswith(".tif"))
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = {c: [] for c in RASTER_SCHEMA_COLS}
+        for p in batch["path"].to_pylist():
+            ident = os.path.splitext(os.path.basename(p))[0]
+            arr, _bounds, names = tiff.read_tiff(os.path.join(dir_path, p))
+            out["identifier"].append(ident)
+            out["band_names"].append(names or [f"b{i}" for i in range(arr.shape[2])])
+            out["shape"].append(list(arr.shape))
+            out["pixels"].append(np.ascontiguousarray(arr).tobytes())
+            out["dtype"].append(str(arr.dtype))
+            out["nodata"].append(False)
+        return pa.table({
+            "identifier": pa.array(out["identifier"], type=pa.string()),
+            "band_names": pa.array(out["band_names"], type=pa.list_(pa.string())),
+            "shape": pa.array(out["shape"], type=pa.list_(pa.int32())),
+            "pixels": pa.array(out["pixels"], type=pa.binary()),
+            "dtype": pa.array(out["dtype"], type=pa.string()),
+            "nodata": pa.array(out["nodata"], type=pa.bool_()),
+        })
+
+    return ray.data.from_items([{"path": p} for p in paths]) \
+        .map_batches(load, batch_format="pyarrow", batch_size=256)
+
+
+def validate_rasters(rasters: ray.data.Dataset) -> ray.data.Dataset:
+    """O13 (cmds.py:705-742): decode-check every raster row; bad rows become
+    a dead-letter flag column instead of deleted files."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        ok = []
+        for i in range(len(batch)):
+            try:
+                if batch["nodata"][i].as_py():
+                    ok.append(True)
+                    continue
+                _decode_row(batch["shape"][i].as_py(), batch["pixels"][i].as_py(),
+                            batch["dtype"][i].as_py())
+                ok.append(True)
+            except Exception:
+                ok.append(False)
+        return batch.append_column("readable", pa.array(ok))
+
+    return rasters.map_batches(check, batch_format="pyarrow", batch_size=256)
+
+
+# ------------------------------------------------------------------ mosaic
+
+def mosaic(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
+           pixels_per_degree: float | None = None,
+           value_map_plugin: str | DatasetDefinition | None = None) -> tuple:
+    """S11 (cmds.py:628-702): global bounds aggregate → place every tile
+    into one canvas, in identifier-sorted order (T4: the reference places in
+    sorted(os.listdir) order = identifier order; later nonzero overwrites).
+
+    Driver-side composition, like the reference; returns (canvas HxWxC,
+    (minx,miny,maxx,maxy)). The per-tile reads stream; only the canvas is
+    driver-resident. For canvases beyond driver RAM the documented scale
+    path is groupby(canvas-block key) → per-block compose → block grid.
+    """
+    from ray.data.aggregate import Max, Min
+
+    agg = tiles.aggregate(Min("minx"), Min("miny"), Max("maxx"), Max("maxy"))
+    minx, miny = agg["min(minx)"], agg["min(miny)"]
+    maxx, maxy = agg["max(maxx)"], agg["max(maxy)"]
+    bmap = _bounds_map(tiles)
+
+    first = rasters.take(1)[0]
+    h0, w0, c0 = first["shape"]
+    if pixels_per_degree is None:
+        tb = bmap[first["identifier"]]
+        pixels_per_degree = w0 / (tb[2] - tb[0])
+    W = int(np.ceil((maxx - minx) * pixels_per_degree))
+    H = int(np.ceil((maxy - miny) * pixels_per_degree))
+    plugin = (load_plugin(value_map_plugin) if isinstance(value_map_plugin, str)
+              else value_map_plugin)
+
+    canvas = None
+    rows = []
+    for b in rasters.sort("identifier").iter_batches(batch_size=64,
+                                                     batch_format="pyarrow"):
+        for i in range(len(b)):
+            if b["nodata"][i].as_py():
+                continue
+            ident = b["identifier"][i].as_py()
+            arr = _decode_row(b["shape"][i].as_py(), b["pixels"][i].as_py(),
+                              b["dtype"][i].as_py())
+            if plugin is not None:
+                arr = plugin.map_values(arr)
+            if canvas is None:
+                canvas = np.zeros((H, W, arr.shape[2]), dtype=arr.dtype)
+            tb = bmap.get(ident)
+            if tb is None:
+                continue
+            x0 = int(round((tb[0] - minx) * pixels_per_degree))
+            y0 = int(round((maxy - tb[3]) * pixels_per_degree))
+            th = int(round((tb[3] - tb[1]) * pixels_per_degree)) or 1
+            tw = int(round((tb[2] - tb[0]) * pixels_per_degree)) or 1
+            resized = _nearest_resize(arr, th, tw)
+            y1, x1 = min(y0 + th, H), min(x0 + tw, W)
+            y0c, x0c = max(y0, 0), max(x0, 0)
+            sub = resized[y0c - y0:y1 - y0, x0c - x0:x1 - x0]
+            region = canvas[y0c:y1, x0c:x1]
+            nz = sub != 0  # later nonzero pixels overwrite (cmds.py:682-686)
+            region[nz] = sub[nz]
+    return canvas, (minx, miny, maxx, maxy)
+
+
+def _nearest_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * arr.shape[0] / h).astype(int)
+    xs = (np.arange(w) * arr.shape[1] / w).astype(int)
+    return arr[ys][:, xs]
+
+
+# ------------------------------------------------------- chip export (S10)
+
+def pack_chips(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
+               labels: ray.data.Dataset | None = None,
+               label_col: str | None = None,
+               plugin: str | DatasetDefinition | None = None,
+               concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """S10 (cmds.py:402-575): per-tile pickle payload
+    {chip, chip_id, center_latlon, corners, label_proportions}, filtered by
+    the plugin's include_chip hook. labels: optional Dataset with
+    (identifier, label_col map column)."""
+    p = load_plugin(plugin) if isinstance(plugin, str) else plugin
+    bounds_ref = ray.put(_bounds_map(tiles))
+    labels_map = {}
+    if labels is not None and label_col:
+        for b in labels.select_columns(["identifier", label_col]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            for ident, lp in zip(b["identifier"].to_pylist(),
+                                 b[label_col].to_pylist()):
+                labels_map[ident] = dict(lp) if lp else {}
+    labels_ref = ray.put(labels_map)
+
+    class Pack:
+        def __init__(self):
+            self.bounds = ray.get(bounds_ref)
+            self.labels = ray.get(labels_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_out, blobs = [], []
+            for i in range(len(batch)):
+                if batch["nodata"][i].as_py():
+                    continue
+                ident = batch["identifier"][i].as_py()
+                arr = _decode_row(batch["shape"][i].as_py(),
+                                  batch["pixels"][i].as_py(),
+                                  batch["dtype"][i].as_py())
+                tb = self.bounds.get(ident, (0, 0, 0, 0))
+                chip = {
+                    "chip": arr,
+                    "chip_id": ident,
+                    "center_latlon": ((tb[1] + tb[3]) / 2, (tb[0] + tb[2]) / 2),
+                    "corners": {"nw": (tb[3], tb[0]), "se": (tb[1], tb[2])},
+                    "label_proportions": self.labels.get(ident),
+                }
+                if p is not None and not p.include_chip_in_dataset(chip):
+                    continue
+                ids_out.append(ident)
+                blobs.append(pickle.dumps(chip, protocol=4))
+            return pa.table({"identifier": pa.array(ids_out, type=pa.string()),
+                             "payload": pa.array(blobs, type=pa.binary())})
+
+    return rasters.map_batches(Pack, batch_format="pyarrow", batch_size=256,
+                               concurrency=concurrency)
+
+
+def zip_chips(chips: ray.data.Dataset, zip_path: str) -> int:
+    """Driver-side finalize of S10: one {identifier}.pkl per chip in a zip
+    (cmds.py:556-568). Streams batches; returns chip count."""
+    n = 0
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as z:
+        for b in chips.iter_batches(batch_size=256, batch_format="pyarrow"):
+            for ident, blob in zip(b["identifier"].to_pylist(),
+                                   b["payload"].to_pylist()):
+                z.writestr(f"{ident}.pkl", blob)
+                n += 1
+    return n
