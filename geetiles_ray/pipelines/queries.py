@@ -291,13 +291,224 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_dedup_text(sf_dir: str):
+    """Exact dedup by content: documents ∪ shifted-id copies of every 10th
+    doc, keep the lowest doc_id per text (dedup_exact operator)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b = batch.filter(pa.array(ids % 10 == 0))
+        return b.set_column(0, "doc_id",
+                            pa.array(b["doc_id"].to_numpy() + 10000))
+
+    dup = docs.map_batches(shift, batch_format="pyarrow")
+    out = dedupmod.dedup_exact(docs.union(dup), key="text", order_col="doc_id")
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
+SQL_DEDUP_TEXT = """
+WITH all_docs AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM all_docs
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 (similarity-search operator), queries =
+    vec_id < 5."""
+    from . import sim as simmod
+
+    import pyarrow.compute as pc
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qdf = emb.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 5)),
+                          batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    out = simmod.brute_force_topk(
+        emb, np.asarray(qdf.embedding.tolist(), dtype=np.float64),
+        qdf.vec_id.to_numpy(), k=5)
+    out["query_id"] = out.query_id.astype("int64")
+    out["neighbor_id"] = out.neighbor_id.astype("int64")
+    return out
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_text_features(sf_dir: str):
+    """Per-doc text features (quality-scoring operator), doc_id < 100."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+        n_chars = df.text.str.len().astype("int64")
+        n_words = df.text.str.count(re.compile(r"[A-Za-z0-9_]+")).astype("int64")
+        n_punct = df.text.str.count(re.compile(r"[^A-Za-z0-9_\s]")).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df.doc_id,
+            "n_chars_calc": n_chars,
+            "n_words": n_words,
+            "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(6),
+        })
+
+    out = docs.filter(lambda r: r["doc_id"] < 100) \
+        .map_batches(feats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TEXT_FEATURES = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_calc,
+       LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+       ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))
+             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization (streaming-shaped op): per user, number of sessions
+    with a 30-minute inactivity gap. Ray: groupby(user).map_groups over
+    ts-sorted events (the ordered-log pattern)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g.ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame({"user_id": [g.user_id.iloc[0]],
+                             "n_sessions": [int(gaps.sum()) + 1]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    out["n_sessions"] = out.n_sessions.astype("int64")
+    return out
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id, SUM(new_session)::BIGINT AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ------------------------------- rows-only queries (non-SQL-expressible) --
+
+def q_grid_tileset(sf_dir: str):
+    """UTM-grid tileset over the fixture AOI (core engine O1/O5/O6): not
+    SQL-expressible (transverse Mercator); correctness is pytest's
+    brute-force/golden oracles. Driver records rows-only."""
+    from . import flagship
+
+    tiles = flagship.build_fixture_tileset(5000.0)
+    df = tiles.to_pandas().sort_values("grid_idx").reset_index(drop=True)
+    df["area_km2"] = df.area_km2.round(6)
+    return df[["grid_idx", "identifier", "area_km2", "cell_id"]]
+
+
+def q_minhash_groups(sf_dir: str):
+    """MinHash-LSH near-dup groups over documents ∪ injected near-copies
+    (every 20th doc with one word changed). Deterministic; rows-only."""
+    from . import neardup as ndmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b = batch.filter(pa.array(ids % 20 == 0))
+        texts = [t + " trailing near dup marker" for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(b["doc_id"].to_numpy() + 20000),
+                         "text": pa.array(texts)})
+
+    both = docs.union(docs.map_batches(inject, batch_format="pyarrow"))
+    return ndmod.dedup_minhash(both, "doc_id", "text", threshold=0.6)
+
+
+def q_simhash_candidates(sf_dir: str):
+    """SimHash near-dup candidates over the same injected corpus; rows-only."""
+    from . import neardup as ndmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b = batch.filter(pa.array(ids % 20 == 0))
+        return pa.table({"doc_id": pa.array(b["doc_id"].to_numpy() + 20000),
+                         "text": b["text"]})
+
+    both = docs.union(docs.map_batches(inject, batch_format="pyarrow"))
+    with_sh = ndmod.add_simhash(both, "text")
+    return ndmod.simhash_candidates(with_sh, "doc_id", max_hamming=3)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-id predictions (rows-only; regex \\w semantics
+    diverge between python re and RE2, so no SQL twin)."""
+    from . import text as textmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = textmod.lang_id(docs).to_pandas()
+    return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    from . import text as textmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = textmod.fingerprint(docs).to_pandas()
+    return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
     "knn_pages": (q_knn_pages, SQL_KNN_PAGES),
     "dedup_events": (q_dedup_events, SQL_DEDUP_EVENTS),
+    "dedup_text": (q_dedup_text, SQL_DEDUP_TEXT),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "text_features": (q_text_features, SQL_TEXT_FEATURES),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "grid_tileset": (q_grid_tileset, None),
+    "minhash_groups": (q_minhash_groups, None),
+    "simhash_candidates": (q_simhash_candidates, None),
+    "lang_id": (q_lang_id, None),
+    "fingerprints": (q_fingerprints, None),
 }

@@ -1,0 +1,131 @@
+"""Text analysis operators for the web-page table (training-data pipeline
+extensions): language id, quality scoring, token counting, fingerprinting.
+All vectorized pandas/numpy inside map_batches; regexes compiled once per
+actor (stateful stage pattern)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"],
+}
+
+
+class LangId:
+    """n-gram/stopword heuristic language id: per-lang whole-word stopword
+    hit counts + a CJK codepoint check for zh; argmax with 'und' fallback."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col, self.out_col = text_col, out_col
+        self.pats = {lg: re.compile(r"\b(" + "|".join(ws) + r")\b")
+                     for lg, ws in STOPWORDS.items()}
+        self.cjk = re.compile("[一-鿿]")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        low = df[self.text_col].str.lower()
+        scores = pd.DataFrame({lg: low.str.count(p) for lg, p in self.pats.items()})
+        zh = low.str.count(self.cjk) * 3  # CJK chars are strong evidence
+        scores["zh"] = zh
+        best = scores.idxmax(axis=1)
+        nohit = scores.max(axis=1) == 0
+        df[self.out_col] = best.where(~nohit, "und")
+        return df
+
+
+def lang_id(ds: ray.data.Dataset, text_col: str = "text",
+            concurrency: int | tuple = 2) -> ray.data.Dataset:
+    return ds.map_batches(LangId, fn_constructor_kwargs=dict(text_col=text_col),
+                          batch_format="pandas", concurrency=concurrency)
+
+
+class QualityScore:
+    """Heuristic quality features (length, punctuation ratio, stopword ratio,
+    mean word length) + a [0,1] score. Deterministic, vectorized."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = re.compile(r"\w+")
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = re.compile(
+            r"\b(" + "|".join(w for ws in STOPWORDS.values() for w in ws) + r")\b")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        t = df[self.text_col]
+        n_chars = t.str.len().astype("int64")
+        n_words = t.str.count(self.word).astype("int64")
+        n_punct = t.str.count(self.punct).astype("int64")
+        n_stop = t.str.lower().str.count(self.stop).astype("int64")
+        df["n_chars"] = n_chars
+        df["n_words"] = n_words
+        df["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
+        df["stop_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
+        df["mean_word_len"] = ((n_chars - n_words + 1) / n_words.clip(lower=1)).round(6)
+        length_ok = ((n_words >= 10) & (n_words <= 100000)).astype(float)
+        df["quality"] = (0.4 * length_ok
+                         + 0.3 * (1 - df["punct_ratio"].clip(0, 1))
+                         + 0.3 * df["stop_ratio"].clip(0, 1)).round(6)
+        return df
+
+
+def quality_score(ds: ray.data.Dataset, text_col: str = "text",
+                  concurrency: int | tuple = 2) -> ray.data.Dataset:
+    return ds.map_batches(QualityScore,
+                          fn_constructor_kwargs=dict(text_col=text_col),
+                          batch_format="pandas", concurrency=concurrency)
+
+
+class TokenCount:
+    """Whitespace tokens + a BPE-ish subword estimate (regex splitting on
+    letter/digit/punct boundaries, ~GPT-2 pre-tokenizer shape)."""
+
+    BPE_ISH = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        t = df[self.text_col]
+        df["ws_tokens"] = (t.str.count(" ") + 1).astype("int64")
+        df["bpeish_tokens"] = t.str.count(self.BPE_ISH).astype("int64")
+        return df
+
+
+def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(TokenCount, fn_constructor_kwargs=dict(text_col=text_col),
+                          batch_format="pandas", concurrency=2)
+
+
+def _rolling_fingerprint(data: bytes, window: int = 64,
+                         mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Rabin-Karp rolling hash folded over the byte stream → stable 61-bit
+    document fingerprint (content-defined, shift-tolerant within windows)."""
+    if not data:
+        return 0
+    h = 0
+    acc = 0
+    power = pow(base, window - 1, mod)
+    for i, byte in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * power) % mod
+        h = (h * base + byte) % mod
+        acc ^= h
+    return acc
+
+
+def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
+                out_col: str = "fingerprint") -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [_rolling_fingerprint(t.encode("utf-8"))
+               for t in batch[text_col].to_pylist()]
+        return batch.append_column(out_col, pa.array(fps, type=pa.uint64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,143 @@
+"""Multimodal payload stages: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool map_batches.
+
+The Ray-side plumbing (schema, batch sizing for large binary rows, actor
+signatures, output layout) is real and tested; the actual codec decode is
+STUBBED behind an import-try (PIL/soundfile are not in this container) with
+a deterministic fake decoder, clearly marked. Swap ``_decode_image_real``
+in when a codec library exists — nothing else changes.
+
+Batch-size discipline for binary payloads: default 64 rows/batch so
+batch × concurrency stays far below worker heap even at megabyte blobs
+(SURVEY.md §4 oversized-row note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_image_fake(blob: bytes, hw=(32, 32)) -> np.ndarray:
+    """Deterministic stand-in decoder: pseudo-pixels from the blob's sha256
+    stream. Same shape/dtype contract as a real decode."""
+    h, w = hw
+    need = h * w * 3
+    seed = hashlib.sha256(blob).digest()
+    reps = need // 32 + 1
+    buf = bytearray()
+    cur = seed
+    for _ in range(reps):
+        buf += cur
+        cur = hashlib.sha256(cur).digest()
+    return np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w, 3)
+
+
+class DecodeImages:
+    """binary column → fixed-shape uint8 tensor column + dims metadata.
+
+    Real path requires PIL (raises NotImplementedError if requested without
+    it); fake path is deterministic and marks rows with decoder='fake'.
+    """
+
+    def __init__(self, blob_col: str = "payload", out_col: str = "pixels",
+                 hw=(32, 32), require_real: bool = False):
+        if require_real and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode needs PIL, which is not installed; "
+                "run with require_real=False for the deterministic stub")
+        self.blob_col, self.out_col, self.hw = blob_col, out_col, hw
+        self.real = _HAVE_PIL and require_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.blob_col].to_pylist()
+        arrs = [_decode_image_fake(b, self.hw) for b in blobs]
+        cols = {name: batch[name] for name in batch.column_names}
+        cols[self.out_col] = pa.array([a.tobytes() for a in arrs], type=pa.binary())
+        cols["height"] = pa.array([self.hw[0]] * len(blobs), type=pa.int32())
+        cols["width"] = pa.array([self.hw[1]] * len(blobs), type=pa.int32())
+        cols["channels"] = pa.array([3] * len(blobs), type=pa.int32())
+        cols["decoder"] = pa.array(["real" if self.real else "fake"] * len(blobs))
+        return pa.table(cols)
+
+
+class ImageFeatures:
+    """pixels tensor column → per-channel mean/std features (real compute,
+    works identically on fake or real decodes)."""
+
+    def __init__(self, pixels_col: str = "pixels"):
+        self.pixels_col = pixels_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["height"].to_numpy()
+        w = batch["width"].to_numpy()
+        c = batch["channels"].to_numpy()
+        means, stds = [], []
+        for i, blob in enumerate(batch[self.pixels_col].to_pylist()):
+            a = np.frombuffer(blob, dtype=np.uint8).reshape(h[i], w[i], c[i])
+            means.append(np.round(a.mean(axis=(0, 1)), 4).tolist())
+            stds.append(np.round(a.std(axis=(0, 1)), 4).tolist())
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["chan_mean"] = pa.array(means, type=pa.list_(pa.float64()))
+        cols["chan_std"] = pa.array(stds, type=pa.list_(pa.float64()))
+        return pa.table(cols)
+
+
+class FrameSample:
+    """Video-like payloads → every Nth 'frame' (stub: fixed-size byte chunks
+    stand in for demuxed frames; the sampling/emission plumbing is real)."""
+
+    def __init__(self, blob_col: str = "payload", frame_bytes: int = 1024,
+                 every_n: int = 10):
+        self.blob_col, self.frame_bytes, self.every_n = blob_col, frame_bytes, every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_blob = [], [], []
+        ids = batch["identifier"].to_pylist() if "identifier" in batch.column_names \
+            else list(range(len(batch)))
+        for ident, blob in zip(ids, batch[self.blob_col].to_pylist()):
+            n_frames = max(len(blob) // self.frame_bytes, 1)
+            for f in range(0, n_frames, self.every_n):
+                out_id.append(ident)
+                out_frame.append(f)
+                out_blob.append(blob[f * self.frame_bytes:(f + 1) * self.frame_bytes])
+        return pa.table({
+            "identifier": pa.array(out_id),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "frame": pa.array(out_blob, type=pa.binary()),
+        })
+
+
+def decode_images(ds: ray.data.Dataset, blob_col: str = "payload",
+                  hw=(32, 32), concurrency: int | tuple = 2,
+                  batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(DecodeImages,
+                          fn_constructor_kwargs=dict(blob_col=blob_col, hw=hw),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_features(ds: ray.data.Dataset, concurrency: int | tuple = 2,
+                   batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def frame_sample(ds: ray.data.Dataset, blob_col: str = "payload",
+                 frame_bytes: int = 1024, every_n: int = 10,
+                 concurrency: int | tuple = 2) -> ray.data.Dataset:
+    return ds.map_batches(FrameSample,
+                          fn_constructor_kwargs=dict(blob_col=blob_col,
+                                                     frame_bytes=frame_bytes,
+                                                     every_n=every_n),
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=concurrency)

@@ -1,0 +1,173 @@
+"""Near-dup (MinHash-LSH, SimHash), similarity search, text analysis,
+multimodal stage plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geetiles_ray.pipelines import neardup, sim, text as textmod
+from geetiles_ray.stages import multimodal
+
+
+def _dup_corpus():
+    """20 docs: 0..14 distinct, 15..19 near-copies of 0..4 (one word changed),
+    plus an exact copy of doc 7."""
+    base = [f"doc number {i} " + " ".join(
+        f"tok{i}x{j}" for j in range(60)) for i in range(15)]
+    near = [base[i].replace(f"tok{i}x3 ", f"tok{i}q3 ", 1) for i in range(5)]
+    rows = base + near + [base[7]]
+    ids = list(range(len(rows)))
+    return pd.DataFrame({"doc_id": ids, "text": rows})
+
+
+class TestMinHashLSH:
+    def test_finds_near_and_exact_dups(self):
+        df = _dup_corpus()
+        ds = ray.data.from_pandas(df)
+        groups = neardup.dedup_minhash(ds, "doc_id", "text", threshold=0.7)
+        gmap = dict(zip(groups.doc_id, groups.group_id))
+        # exact copy 20 ↔ 7
+        assert gmap.get(20) == 7 or gmap.get(7) == 7
+        # near copies 15..19 ↔ 0..4
+        for i in range(5):
+            assert gmap.get(15 + i) == i
+        # distinct docs form no groups with each other
+        distinct = [d for d in range(5, 15) if d != 7]
+        for d in distinct:
+            assert gmap.get(d, d) == d
+
+    def test_minhash_jaccard_estimate(self):
+        a, b = "the quick brown fox jumps over the lazy dog " * 5, \
+               "the quick brown fox jumped over the lazy dog " * 5
+        sh = neardup._hash_shingles([a, b], 5)
+        pa_, pb_ = neardup._perm_params(256)
+        sa = neardup.minhash_signature(sh[0], pa_, pb_)
+        sb = neardup.minhash_signature(sh[1], pa_, pb_)
+        est = (sa == sb).mean()
+        sa_set = {a[i:i + 5] for i in range(len(a) - 4)}
+        sb_set = {b[i:i + 5] for i in range(len(b) - 4)}
+        true_j = len(sa_set & sb_set) / len(sa_set | sb_set)
+        assert abs(est - true_j) < 0.15
+
+    def test_no_dups_empty_result(self):
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [
+            "alpha beta gamma delta " * 10, "one two three four five " * 10]})
+        out = neardup.dedup_minhash(ray.data.from_pandas(df), "doc_id", "text")
+        assert len(out) == 0
+
+
+class TestSimHash:
+    def test_identical_texts_same_hash(self):
+        t = ["hello world foo bar baz"] * 2 + ["completely different content here"]
+        sh = neardup.simhash_batch(t)
+        assert sh[0] == sh[1] != sh[2]
+
+    def test_candidates_by_hamming(self):
+        df = _dup_corpus()
+        ds = ray.data.from_pandas(df)
+        with_sh = neardup.add_simhash(ds, "text").materialize()
+        pairs = neardup.simhash_candidates(with_sh, "doc_id", max_hamming=6)
+        got = set(zip(pairs.id_a, pairs.id_b))
+        assert (7, 20) in got  # exact copy at hamming 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self):
+        return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_brute_force_matches_numpy(self, emb):
+        df = emb.to_pandas()
+        m = np.asarray(df.embedding.tolist(), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qids = df.vec_id.to_numpy()[:3]
+        out = sim.brute_force_topk(emb, m[:3], qids, k=5)
+        assert len(out) == 15
+        for qi, qv in zip(qids, mn[:3]):
+            sims = np.round(mn @ qv, 6)
+            ids = df.vec_id.to_numpy()
+            mask = ids != qi
+            order = np.lexsort((ids[mask], -sims[mask]))[:5]
+            expect = ids[mask][order].tolist()
+            got = out[out.query_id == qi].sort_values("rank").neighbor_id.tolist()
+            assert got == expect
+
+    def test_ivf_recall(self, emb):
+        df = emb.to_pandas()
+        m = np.asarray(df.embedding.tolist(), dtype=np.float64)
+        qids = df.vec_id.to_numpy()[:5]
+        exact = sim.brute_force_topk(emb, m[:5], qids, k=3)
+        approx = sim.ivf_topk(emb, m[:5], qids, k=3, n_centroids=8, nprobe=4)
+        inter = len(set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+                    & set(map(tuple, approx[["query_id", "neighbor_id"]].values)))
+        assert inter / len(exact) >= 0.5  # nprobe=4 of 8 buckets
+
+
+class TestTextAnalysis:
+    def test_lang_id(self):
+        df = pd.DataFrame({"text": [
+            "the cat is in the house and it is big",
+            "el perro y el gato en la casa con los chicos",
+            "der hund und die katze ist nicht ein problem",
+            "le chien et le chat est pour les enfants",
+            "这是一个中文句子 真的很好",
+            "zzz qqq xxx",
+        ]})
+        out = textmod.lang_id(ray.data.from_pandas(df)).to_pandas()
+        assert out.lang_pred.tolist() == ["en", "es", "de", "fr", "zh", "und"]
+
+    def test_quality_score(self):
+        df = pd.DataFrame({"text": [
+            "the " * 50, "!!!???;;;", "a decent length sentence with the usual words " * 3]})
+        out = textmod.quality_score(ray.data.from_pandas(df)).to_pandas()
+        assert (out.quality >= 0).all() and (out.quality <= 1).all()
+        assert out.quality.iloc[1] < out.quality.iloc[2]
+
+    def test_token_count(self):
+        df = pd.DataFrame({"text": ["one two three", "hello, world! 123"]})
+        out = textmod.token_count(ray.data.from_pandas(df)).to_pandas()
+        assert out.ws_tokens.tolist() == [3, 3]
+        assert out.bpeish_tokens.tolist() == [3, 5]  # hello , world ! 123
+
+    def test_fingerprint_stable_and_discriminative(self):
+        df = pd.DataFrame({"text": ["same text content here", "same text content here",
+                                    "different content"]})
+        out = textmod.fingerprint(ray.data.from_pandas(df)).to_pandas()
+        assert out.fingerprint.iloc[0] == out.fingerprint.iloc[1]
+        assert out.fingerprint.iloc[0] != out.fingerprint.iloc[2]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def blobs(self):
+        rows = [{"identifier": f"img{i}", "payload": bytes([i]) * (3000 + i * 100)}
+                for i in range(8)]
+        return ray.data.from_items(rows)
+
+    def test_decode_plumbing(self, blobs):
+        out = multimodal.decode_images(blobs, hw=(16, 16)).to_pandas()
+        assert len(out) == 8
+        assert (out.decoder == "fake").all()
+        a = np.frombuffer(out.pixels.iloc[0], dtype=np.uint8)
+        assert len(a) == 16 * 16 * 3
+        # deterministic
+        again = multimodal.decode_images(blobs, hw=(16, 16)).to_pandas()
+        assert (again.sort_values("identifier").pixels.values
+                == out.sort_values("identifier").pixels.values).all()
+
+    def test_features(self, blobs):
+        dec = multimodal.decode_images(blobs, hw=(16, 16))
+        out = multimodal.image_features(dec).to_pandas()
+        assert out.chan_mean.map(len).eq(3).all()
+        assert (out.chan_std.map(lambda v: all(s >= 0 for s in v))).all()
+
+    def test_frame_sample(self, blobs):
+        out = multimodal.frame_sample(blobs, frame_bytes=500, every_n=2).to_pandas()
+        assert (out.frame_idx % 2 == 0).all()
+        assert out.groupby("identifier").size().min() >= 1
+
+    def test_require_real_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeImages(require_real=True)
