@@ -1,0 +1,303 @@
+"""CLI mirroring the reference's ``geet`` subcommand surface
+(/root/reference/geetiles/main.py:7-94) on the Ray-Data engine, so a
+reference user can run the same workflows:
+
+    python -m geetiles_ray.cli grid --aoi_wkt_file f.wkt --chip_size_meters 1000 \\
+        --aoi_name lux --dest_dir out/
+    python -m geetiles_ray.cli random --aoi_wkt_file f.wkt --max_rectangle_size_meters 20000 ...
+    python -m geetiles_ray.cli download --tiles_file out/lux_partitions_aschips_xxx \\
+        --dataset_def worldcoverlike --pixels_lonlat '(100,100)' [--skip_if_exists]
+    python -m geetiles_ray.cli lp.compute --tiles_file ... --labels_dataset_def worldcoverlike
+    python -m geetiles_ray.cli lp.from_foreign --tiles_file ... --foreign_tiles_file ... \\
+        --labels_dataset_def worldcoverlike
+    python -m geetiles_ray.cli intersect --tiles_file ... --foreign_tiles_file ...
+    python -m geetiles_ray.cli split --tiles_file ... --nbands 8 --angle 0 \\
+        --train_pct .5 --test_pct .3 --val_pct .2
+    python -m geetiles_ray.cli mosaic --tiles_file ... --dataset_name worldcoverlike
+    python -m geetiles_ray.cli zip --tiles_file ... --dataset_name worldcoverlike
+
+"download" renders deterministic tiles via the dataset-definition plugin
+(this sandbox's stand-in for the GEE fetch); all other semantics follow
+SURVEY.md §3's lifecycle. The CLI owns the Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
+    from .ray_tuning import tune
+
+    tune()
+
+
+def _load_tiles(path: str):
+    from .sources import tileset
+
+    if path.endswith(".geojson"):
+        return tileset.import_geojson(path)
+    return tileset.load_tileset(path)
+
+
+def cmd_grid(a):
+    from .functions import wkt
+    from .pipelines import grid
+    from .sources import tileset
+
+    ring = wkt.load_exterior(open(a.aoi_wkt_file).read())
+    ds = grid.build_grid(ring, a.chip_size_meters)
+    out = tileset.save_tileset(ds, a.dest_dir, a.aoi_name, "aschips")
+    print(f"saved to {out}")
+
+
+def cmd_random(a):
+    from .functions import wkt
+    from .pipelines import grid
+    from .sources import tileset
+
+    ring = wkt.load_exterior(open(a.aoi_wkt_file).read())
+    ds = grid.make_random_partitions(ring, a.max_rectangle_size_meters,
+                                     seed=a.seed)
+    out = tileset.save_tileset(ds, a.dest_dir, a.aoi_name, a.partitions_name)
+    print(f"saved to {out}")
+
+
+def cmd_select(a):
+    from .functions import wkt
+    from .pipelines import grid
+    from .sources import tileset
+
+    ring = wkt.load_exterior(open(a.aoi_wkt_file).read())
+    tiles = _load_tiles(a.orig_file)
+    sel = grid.select_intersecting(tiles, ring)
+    out = tileset.save_tileset(sel, a.dest_dir, a.aoi_name, a.partitions_name)
+    print(f"saved to {out}")
+
+
+def cmd_download(a):
+    from .plugins import load_plugin
+    from .sources import tileset as tsmod
+    from .stages import raster
+
+    tiles = _load_tiles(a.tiles_file)
+    if a.groups:
+        tiles = tsmod.filter_groups(tiles, a.groups)
+    plugin = load_plugin(a.dataset_def)
+    hw = ast.literal_eval(a.pixels_lonlat) if a.pixels_lonlat else (100, 100)
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    rasters = raster.render_tiles(tiles, plugin, pixels_hw=tuple(hw),
+                                  concurrency=a.n_processes)
+    if a.shuffle:
+        rasters = rasters.random_shuffle(seed=42)  # T1: spread load
+    if a.max_downloads:
+        rasters = rasters.limit(a.max_downloads)  # T2
+    n = raster.write_geotiff_layout(rasters, tiles, dest,
+                                    plugin.get_dataset_name(),
+                                    skip_if_exists=a.skip_if_exists)
+    tsmod.write_provenance(os.path.join(dest, plugin.get_dataset_name()), plugin)
+    print(f"wrote {n} tiles under {dest}/{plugin.get_dataset_name()}")
+
+
+def cmd_lp_compute(a):
+    from .plugins import load_plugin
+    from .stages import raster
+
+    tiles = _load_tiles(a.tiles_file)
+    plugin = load_plugin(a.labels_dataset_def)
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    rasters = raster.read_geotiff_layout(
+        os.path.join(dest, plugin.get_dataset_name()))
+    props = raster.compute_proportions(rasters, tiles, plugin)
+    out = os.path.join(dest, f"{plugin.get_dataset_name()}_proportions")
+    props.write_parquet(out)
+    print(f"proportions written to {out}")
+
+
+def cmd_lp_from_foreign(a):
+    import ray.data
+
+    from .plugins import load_plugin
+    from .sources import tileset as tsmod
+    from .stages import joins
+
+    tiles = _load_tiles(a.tiles_file)
+    foreign = _load_tiles(a.foreign_tiles_file)
+    plugin = load_plugin(a.labels_dataset_def)
+    pcol = f"{plugin.get_dataset_name()}_proportions"
+    fdest = os.path.splitext(a.foreign_tiles_file.rstrip("/"))[0]
+    fprops = ray.data.read_parquet(os.path.join(fdest, pcol))
+    foreign_with = joins.join_on_identifier(foreign, fprops)
+    _aoi, fname = tsmod.tileset_name_parts(a.foreign_tiles_file)
+    out_ds = joins.add_foreign_proportions(tiles, foreign_with, fname or "foreign",
+                                           pcol)
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    out = os.path.join(dest, f"{pcol}_at_{fname}")
+    out_ds.write_parquet(out)
+    print(f"foreign proportions written to {out}")
+
+
+def cmd_intersect(a):
+    from .sources import tileset as tsmod
+    from .stages import joins
+
+    tiles = _load_tiles(a.tiles_file)
+    foreign = _load_tiles(a.foreign_tiles_file)
+    _aoi, fname = tsmod.tileset_name_parts(a.foreign_tiles_file)
+    out_ds = joins.add_foreign_partition(tiles, foreign, fname or "foreign")
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0] + f"_foreignid_{fname}"
+    out_ds.write_parquet(dest)
+    print(f"intersections written to {dest}")
+
+
+def cmd_split(a):
+    from .pipelines import split as splitmod
+
+    tiles = _load_tiles(a.tiles_file)
+    if a.foreign_name:
+        out_ds = splitmod.split_per_partitions(
+            tiles, a.nbands, a.angle, a.train_pct, a.test_pct, a.val_pct,
+            a.foreign_name)
+    else:
+        out_ds = splitmod.split(tiles, a.nbands, a.angle, a.train_pct,
+                                a.test_pct, a.val_pct)
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    csv = splitmod.save_splits(out_ds, dest + "_splits.csv")
+    out_ds.write_parquet(dest + "_withsplits")
+    print(f"all splits saved to {csv}")
+
+
+def cmd_mosaic(a):
+    from .functions import tiff
+    from .stages import raster
+
+    tiles = _load_tiles(a.tiles_file)
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    rasters = raster.read_geotiff_layout(os.path.join(dest, a.dataset_name))
+    canvas, bounds = raster.mosaic(rasters, tiles)
+    out = os.path.join(dest, f"{a.dataset_name}_mosaic.tif")
+    tiff.write_tiff(out, canvas, bounds=bounds)
+    print(f"mosaic written to {out}")
+
+
+def cmd_zip(a):
+    from .plugins import load_plugin
+    from .stages import raster
+
+    tiles = _load_tiles(a.tiles_file)
+    plugin = load_plugin(a.dataset_def) if a.dataset_def else None
+    dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
+    rasters = raster.read_geotiff_layout(os.path.join(dest, a.dataset_name))
+    labels = None
+    pcol = None
+    if a.labels_dataset_def:
+        import ray.data
+
+        lp = load_plugin(a.labels_dataset_def)
+        pcol = f"{lp.get_dataset_name()}_proportions"
+        labels = ray.data.read_parquet(os.path.join(dest, pcol))
+    chips = raster.pack_chips(rasters, tiles, labels=labels, label_col=pcol,
+                              plugin=plugin)
+    out = os.path.join(dest, f"{a.dataset_name}_chips.zip")
+    n = raster.zip_chips(chips, out)
+    print(f"zipped {n} chips to {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="geetiles-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grid")
+    g.add_argument("--aoi_wkt_file", required=True)
+    g.add_argument("--chip_size_meters", type=float, required=True)
+    g.add_argument("--aoi_name", required=True)
+    g.add_argument("--dest_dir", required=True)
+    g.set_defaults(fn=cmd_grid)
+
+    r = sub.add_parser("random")
+    r.add_argument("--aoi_wkt_file", required=True)
+    r.add_argument("--max_rectangle_size_meters", type=float, required=True)
+    r.add_argument("--aoi_name", required=True)
+    r.add_argument("--dest_dir", required=True)
+    r.add_argument("--partitions_name", default="random")
+    r.add_argument("--seed", type=int, default=42)
+    r.set_defaults(fn=cmd_random)
+
+    s = sub.add_parser("select")
+    s.add_argument("--orig_file", required=True)
+    s.add_argument("--aoi_wkt_file", required=True)
+    s.add_argument("--aoi_name", required=True)
+    s.add_argument("--dest_dir", required=True)
+    s.add_argument("--partitions_name", default="selected")
+    s.set_defaults(fn=cmd_select)
+
+    d = sub.add_parser("download")
+    d.add_argument("--tiles_file", required=True)
+    d.add_argument("--dataset_def", required=True)
+    d.add_argument("--pixels_lonlat", default=None)
+    d.add_argument("--n_processes", type=int, default=10)
+    d.add_argument("--skip_if_exists", action="store_true")
+    d.add_argument("--shuffle", action="store_true")
+    d.add_argument("--max_downloads", type=int, default=None)
+    d.add_argument("--groups", default=None)
+    d.set_defaults(fn=cmd_download)
+
+    lc = sub.add_parser("lp.compute")
+    lc.add_argument("--tiles_file", required=True)
+    lc.add_argument("--labels_dataset_def", required=True)
+    lc.set_defaults(fn=cmd_lp_compute)
+
+    lf = sub.add_parser("lp.from_foreign")
+    lf.add_argument("--tiles_file", required=True)
+    lf.add_argument("--foreign_tiles_file", required=True)
+    lf.add_argument("--labels_dataset_def", required=True)
+    lf.set_defaults(fn=cmd_lp_from_foreign)
+
+    ix = sub.add_parser("intersect")
+    ix.add_argument("--tiles_file", required=True)
+    ix.add_argument("--foreign_tiles_file", required=True)
+    ix.set_defaults(fn=cmd_intersect)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--tiles_file", required=True)
+    sp.add_argument("--nbands", type=int, required=True)
+    sp.add_argument("--angle", type=float, required=True)
+    sp.add_argument("--train_pct", type=float, required=True)
+    sp.add_argument("--test_pct", type=float, required=True)
+    sp.add_argument("--val_pct", type=float, required=True)
+    sp.add_argument("--foreign_name", default=None)
+    sp.set_defaults(fn=cmd_split)
+
+    mo = sub.add_parser("mosaic")
+    mo.add_argument("--tiles_file", required=True)
+    mo.add_argument("--dataset_name", required=True)
+    mo.set_defaults(fn=cmd_mosaic)
+
+    z = sub.add_parser("zip")
+    z.add_argument("--tiles_file", required=True)
+    z.add_argument("--dataset_name", required=True)
+    z.add_argument("--dataset_def", default=None)
+    z.add_argument("--labels_dataset_def", default=None)
+    z.set_defaults(fn=cmd_zip)
+
+    a = p.parse_args(argv)
+    _ray_session()
+    try:
+        a.fn(a)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

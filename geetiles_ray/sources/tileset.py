@@ -140,6 +140,72 @@ def export_geojson(ds: ray.data.Dataset, path: str, properties: list[str] | None
     return path
 
 
+def filter_groups(ds: ray.data.Dataset, groups: str) -> ray.data.Dataset:
+    """O8 (partitions.py:405-413): keep tiles whose comma-separated ``group``
+    column intersects the requested comma-separated ``groups`` string."""
+    wanted = set(groups.split(","))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if "group" not in batch.column_names:
+            raise ValueError(
+                f"you specified groups {groups}, but there is no 'group' "
+                f"column in the tileset")
+        mask = [len(set((g or "").split(",")) & wanted) > 0
+                for g in batch["group"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def expand_map_columns(ds: ray.data.Dataset,
+                       cols: list[str] | None = None) -> ray.data.Dataset:
+    """O14 (utils.py:186-196, partitions.py:234-249): expand map<string,double>
+    proportion columns into wide ``{col}__{key}`` float columns, fillna(0).
+    The keyset is discovered with one cheap pre-pass over just the map
+    columns (schema must be fixed for Arrow blocks)."""
+    schema = ds.schema()
+    if cols is None:
+        cols = [n for n, t in zip(schema.names, schema.types)
+                if "_proportions" in n and pa.types.is_map(t)]
+    if not cols:
+        return ds
+    keys: dict[str, list[str]] = {c: set() for c in cols}
+    for b in ds.select_columns(cols).iter_batches(batch_size=65536,
+                                                  batch_format="pyarrow"):
+        for c in cols:
+            for m in b[c].to_pylist():
+                if m:
+                    keys[c].update(k for k, _ in m)
+    keys = {c: sorted(v) for c, v in keys.items()}
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = {n: batch[n] for n in batch.column_names}
+        for c in cols:
+            maps = [dict(m) if m else {} for m in batch[c].to_pylist()]
+            for k in keys[c]:
+                out[f"{c}__{k}"] = pa.array(
+                    [m.get(k, 0.0) for m in maps], type=pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def write_provenance(out_dir: str, plugin) -> str:
+    """S13 (cmds.py:190-193): copy the dataset-definition source next to the
+    outputs so a run is self-describing."""
+    import inspect
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, ".dataset_def.py")
+    try:
+        src = inspect.getsource(type(plugin))
+    except (TypeError, OSError):
+        src = f"# dataset definition: {type(plugin).__name__} (source unavailable)\n"
+    with open(path, "w") as f:
+        f.write(src)
+    return path
+
+
 def import_geojson(path: str) -> ray.data.Dataset:
     """Compatibility source (S2): GeoJSON FeatureCollection → tileset rows.
     Re-derives identifier/area/cell columns from the geometry so round-trips

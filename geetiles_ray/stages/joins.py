@@ -151,6 +151,66 @@ def add_foreign_proportions(tiles: ray.data.Dataset, foreign: ray.data.Dataset,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
 
 
+def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
+                       key: str = "identifier", right_cols: list[str] | None = None,
+                       nbuckets: int = 32) -> ray.data.Dataset:
+    """J4 (tiles ⋈ rasters by identifier — the reference does a filesystem
+    lookup {dir}/{identifier}.tif, partitions.py:450-453): explicit
+    partitioned hash join. Both sides get a deterministic key-hash bucket
+    column, co-locate via groupby(bucket), and merge per bucket with
+    vectorized pandas. Use when BOTH sides are large; when one side is
+    small, prefer the broadcast pattern (broadcast_foreign / ray.put)."""
+    import pandas as pd
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(batch[key].to_pylist(), dtype=object))
+            b = (h % np.uint64(nbuckets)).astype(np.int64)
+            return batch.append_column("__bucket", pa.array(b)) \
+                .append_column("__side", pa.array([side] * len(batch), type=pa.int8()))
+        return f
+
+    rcols = right_cols or [c for c in right.schema().names if c != key]
+    l_tagged = left.map_batches(tag(0), batch_format="pyarrow")
+    r_tagged = right.select_columns([key] + rcols).map_batches(
+        tag(1), batch_format="pyarrow")
+
+    l_names = [c for c in left.schema().names]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == 0][l_names]
+        rg = group[group["__side"] == 1][[key] + rcols]
+        if len(lg) == 0:
+            return pd.DataFrame(columns=l_names + rcols)
+        return lg.merge(rg, on=key, how="left")
+
+    # union of two different schemas needs identical columns: pad each side
+    def pad(missing_cols, types):
+        def f(batch: pa.Table) -> pa.Table:
+            out = {n: batch[n] for n in batch.column_names}
+            for n, t in zip(missing_cols, types):
+                out[n] = pa.nulls(len(batch), t)
+            return pa.table(out)
+        return f
+
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    l_missing = [c for c in rcols if c not in l_schema]
+    r_missing = [c for c in l_names if c != key and c not in r_schema]
+    l_full = l_tagged.map_batches(
+        pad(l_missing, [r_schema[c] for c in l_missing]), batch_format="pyarrow")
+    r_full = r_tagged.map_batches(
+        pad(r_missing, [l_schema[c] for c in r_missing]), batch_format="pyarrow")
+    ordered_cols = [key] + [c for c in l_names if c != key] + l_missing + \
+        ["__bucket", "__side"]
+    l_full = l_full.select_columns(ordered_cols)
+    r_full = r_full.select_columns(ordered_cols)
+
+    return l_full.union(r_full).groupby("__bucket").map_groups(
+        merge, batch_format="pandas")
+
+
 def semi_join_ids(ds: ray.data.Dataset, ids, col: str = "identifier",
                   anti: bool = False) -> ray.data.Dataset:
     """J5: semi/anti join against a broadcast id set (cmds.py:540-554

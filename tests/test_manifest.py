@@ -1,0 +1,99 @@
+"""Checkpoint/resume via per-partition lineage manifests (FIXTURES.md
+invariant 5: kill after partition k, re-run → identical output, partitions
+0..k not recomputed)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from geetiles_ray.state import manifest as mf
+
+
+@pytest.fixture()
+def corpus():
+    return pd.DataFrame({
+        "url": [f"https://x.example/{i}" for i in range(500)],
+        "val": range(500),
+    })
+
+
+class TestCheckpointedWrite:
+    def test_write_then_full_skip(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        r1 = mf.checkpointed_write(ds, out, "url", n_partitions=8)
+        assert len(r1["written"]) == 8 and not r1["skipped"]
+        assert r1["total_rows"] == 500
+        # second run: everything skipped, data identical
+        r2 = mf.checkpointed_write(ds, out, "url", n_partitions=8)
+        assert len(r2["skipped"]) == 8 and not r2["written"]
+        back = mf.read_checkpointed(out).to_pandas().sort_values("val")
+        assert back.val.tolist() == list(range(500))
+
+    def test_partial_resume_recomputes_only_missing(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        mf.checkpointed_write(ds, out, "url", n_partitions=8)
+        # simulate a killed run: delete 3 manifests (their data may be torn)
+        for pid in [1, 4, 6]:
+            os.remove(mf.manifest_path(out, pid))
+        r = mf.checkpointed_write(ds, out, "url", n_partitions=8)
+        assert sorted(r["written"]) == [1, 4, 6]
+        assert len(r["skipped"]) == 5
+        back = mf.read_checkpointed(out).to_pandas()
+        assert sorted(back.val.tolist()) == list(range(500))
+
+    def test_changed_input_invalidates_fingerprint(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        mf.checkpointed_write(ds, out, "url", n_partitions=4)
+        changed = corpus.copy()
+        changed.loc[0, "url"] = "https://x.example/CHANGED"
+        r = mf.checkpointed_write(ray.data.from_pandas(changed), out, "url",
+                                  n_partitions=4)
+        # the partitions holding old row 0 and new CHANGED row re-run
+        assert 1 <= len(r["written"]) <= 2
+        assert len(r["written"]) + len(r["skipped"]) == 4
+
+    def test_manifest_contents(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        mf.checkpointed_write(ds, out, "url", n_partitions=4)
+        with open(mf.manifest_path(out, 0)) as f:
+            m = json.load(f)
+        assert m["status"] == "done"
+        assert m["rows"] > 0
+        assert "input_fingerprint" in m and "wall_sec" in m
+        assert m["engine_version"] == mf.ENGINE_VERSION
+
+    def test_transform_applied(self, corpus, tmp_path):
+        import pyarrow as pa
+
+        def double(t: pa.Table) -> pa.Table:
+            import numpy as np
+            return t.set_column(t.schema.get_field_index("val"), "val",
+                                pa.array(t["val"].to_numpy() * 2))
+
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        mf.checkpointed_write(ds, out, "url", n_partitions=4, transform=double)
+        back = mf.read_checkpointed(out).to_pandas()
+        assert sorted(back.val.tolist()) == [v * 2 for v in range(500)]
+
+    def test_prune_work_list(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "out")
+        mf.checkpointed_write(ds, out, "url", n_partitions=8)
+        os.remove(mf.manifest_path(out, 3))
+        remaining = mf.prune_work_list(ds, out, "url", n_partitions=8).to_pandas()
+        pids = mf.partition_of_key(remaining.url.to_numpy(), 8)
+        assert set(pids) == {3}
+
+    def test_partition_assignment_stable(self, corpus):
+        a = mf.partition_of_key(corpus.url.to_numpy(), 16)
+        b = mf.partition_of_key(corpus.url.to_numpy(), 16)
+        assert (a == b).all()
+        assert len(set(a)) == 16  # all partitions populated at 500 keys
