@@ -35,15 +35,20 @@ HOT_BOXES = {
 
 
 def url_hash_units(urls) -> tuple[np.ndarray, np.ndarray]:
-    """Vector of (u1, u2) uniform units from sha256(url). hashlib per row
-    (~1.5 us); called inside map_batches over Arrow string arrays."""
+    """Vector of (u1, u2) uniform units from sha256(url). One hashlib call
+    per row (unavoidable), but digest→int decoding is a single vectorized
+    big-endian uint32 view over the concatenated digests (int(hexdigest
+    [0:8], 16) == big-endian uint32 of digest bytes 0:4)."""
     n = len(urls)
-    u1 = np.empty(n, dtype=np.float64)
-    u2 = np.empty(n, dtype=np.float64)
-    for i, u in enumerate(urls):
-        d = hashlib.sha256(u.encode("utf-8")).hexdigest()
-        u1[i] = (int(d[0:8], 16) % 1000000) / 1000000.0
-        u2[i] = (int(d[8:16], 16) % 1000000) / 1000000.0
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(u.encode("utf-8")).digest() for u in urls),
+        dtype=np.uint8).reshape(n, 32)
+    h1 = digests[:, 0:4].copy().view(">u4").ravel().astype(np.uint64)
+    h2 = digests[:, 4:8].copy().view(">u4").ravel().astype(np.uint64)
+    u1 = (h1 % 1000000) / 1000000.0
+    u2 = (h2 % 1000000) / 1000000.0
     return u1, u2
 
 

@@ -48,16 +48,35 @@ def run(
 ):
     """pages(url, warc_ts, html, text, lang) → (assignments, tile_lang_counts).
 
-    assignments: one row per unique url with lon/lat/tile_id/cell_id/text.
-    tile_lang_counts: (tile_id, lang, n_pages) via partial-count combiner.
-    """
+    assignments: one row per unique url with lon/lat/tile_id/cell_id/
+    text_extracted. tile_lang_counts: (tile_id, lang, n_pages) via the
+    partial-count combiner.
+
+    Stage order is chosen for the ONE exchange in this pipeline: extraction,
+    geocoding and tile assignment are pure per-row functions, so they run
+    BEFORE the url-dedup shuffle and the raw payload (``html`` + source
+    ``text``) is dropped at the map stage — the exchange then moves only the
+    narrow derived columns (~40% less data; dedup-then-transform and
+    transform-then-dedup are equivalent here, and the ~2% duplicate rows
+    that get transformed twice cost far less than shipping html through the
+    shuffle). ``text_extracted`` carries the byte-identical-text invariant
+    through the exchange."""
     if tiles is None:
         tiles = build_fixture_tileset(chip_size_meters)
 
-    deduped = dedupmod.dedup_exact(pages, key="url", order_col="warc_ts",
+    extracted = pages.map_batches(pagesmod.extract_text_batch, batch_format="pyarrow")
+    # task path (use_actors=False): fuses generate→extract→assign→pre-dedup
+    # into ONE full-width operator; see assign_pages docstring
+    assigned_all = assignmod.assign_pages(extracted, tiles,
+                                          concurrency=None, batch_size=batch_size,
+                                          use_actors=False)
+    slim = assigned_all.drop_columns(["html", "text"])
+    deduped = dedupmod.dedup_exact(slim, key="url", order_col="warc_ts",
                                    nbuckets=dedup_buckets)
-    extracted = deduped.map_batches(pagesmod.extract_text_batch, batch_format="pyarrow")
-    assigned = assignmod.assign_pages(extracted, tiles,
-                                      concurrency=concurrency, batch_size=batch_size)
+    # materialize ONCE, then derive the per-tile counts from the materialized
+    # blocks — partial_counts' driver reduce is eager, so feeding it the lazy
+    # `deduped` would execute the whole pipeline a second time when the
+    # caller also consumes `deduped`
+    assigned = deduped.materialize()
     counts = dedupmod.partial_counts(assigned, ["tile_id", "lang"], "n_pages")
     return assigned, counts

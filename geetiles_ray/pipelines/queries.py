@@ -421,6 +421,183 @@ SELECT user_id, SUM(new_session)::BIGINT AS n_sessions FROM (
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style revenue per customer nation. The lineitem⋈orders leg is
+    a LARGE-LARGE hash join (``Dataset.join`` — both sides hash-partition on
+    the order key, so at 100 TB neither side is materialized anywhere);
+    customer→nation is the broadcast-dimension pattern. lineitem is
+    pre-aggregated to one row per order key BEFORE the join (combiner), so
+    the shuffle moves |orders| rows, not |lineitem| rows."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def disc(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+
+    li_rev = dedupmod.partial_sums(li.map_batches(disc, batch_format="pyarrow"),
+                                   ["l_orderkey"], "rev", "rev")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    name_of_cust = dict(zip(dim.c_custkey, dim.n_name))
+    dimref = ray.put(name_of_cust)
+
+    class TagNation:
+        def __init__(self):
+            self.name_of = ray.get(dimref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(batch["o_orderdate"],
+                                 pa.scalar(pd.Timestamp("1995-01-01"))),
+                pc.less(batch["o_orderdate"],
+                        pa.scalar(pd.Timestamp("1997-01-01"))))
+            batch = batch.filter(keep)
+            names = [self.name_of[k] for k in batch["o_custkey"].to_pylist()]
+            return pa.table({"o_orderkey": batch["o_orderkey"],
+                             "n_name": pa.array(names, type=pa.string())})
+
+    tagged = orders.map_batches(TagNation, batch_format="pyarrow",
+                                concurrency=2)
+    joined = li_rev.join(tagged, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    out = dedupmod.partial_sums(joined, ["n_name"], "rev", "revenue") \
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    out["revenue"] = out.revenue.round(2)
+    return out
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_supplier_region(sf_dir: str):
+    """Dimension-chain rollup: supplier ⋈ nation ⋈ region (both dims
+    broadcast) → per-region supplier count + avg balance."""
+    from ray.data.aggregate import Count, Mean
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    region_of_nation = dict(zip(dim.n_nationkey, dim.r_name))
+    dimref = ray.put(region_of_nation)
+
+    class TagRegion:
+        def __init__(self):
+            self.region_of = ray.get(dimref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.region_of[k] for k in batch["s_nationkey"].to_pylist()]
+            return pa.table({"r_name": pa.array(names, type=pa.string()),
+                             "s_acctbal": batch["s_acctbal"]})
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey", "s_acctbal"])
+    out = sup.map_batches(TagRegion, batch_format="pyarrow", concurrency=2) \
+        .groupby("r_name") \
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Mean("s_acctbal", alias_name="avg_acctbal")) \
+        .to_pandas().sort_values("r_name").reset_index(drop=True)
+    out["avg_acctbal"] = out.avg_acctbal.round(4)
+    return out
+
+
+SQL_SUPPLIER_REGION = """
+SELECT r_name, COUNT(*) AS n_suppliers, ROUND(AVG(s_acctbal), 4) AS avg_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_part_type_stats(sf_dir: str):
+    """Wide aggregate breadth over part: count/mean/min/max per p_type."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_type", "p_retailprice", "p_size"])
+    out = ds.groupby("p_type") \
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"),
+                   Min("p_size", alias_name="min_size"),
+                   Max("p_size", alias_name="max_size")) \
+        .to_pandas().sort_values("p_type").reset_index(drop=True)
+    out["avg_price"] = out.avg_price.round(4)
+    return out
+
+
+SQL_PART_TYPE_STATS = """
+SELECT p_type, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MIN(p_size) AS min_size, MAX(p_size) AS max_size
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (all-pairs ≥ τ). The query
+    matrix is broadcast once (``ray.put``) and each batch does ONE float64
+    matmul against it — the brute-force baseline; the 100 TB path is the
+    IVF/LSH bucketing in pipelines/sim.py (same scoring kernel, candidate
+    set restricted to a bucket)."""
+    tau = 0.4
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    full = ds.to_pandas()
+    ids = full.vec_id.to_numpy()
+    mat = np.stack(full.embedding.to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch["vec_id"].to_numpy()
+            bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+            cos = bm @ self.mat.T
+            row, col = np.nonzero((cos >= tau) & (bids[:, None] < self.ids[None, :]))
+            return pa.table({
+                "id_a": pa.array(bids[row], type=pa.int64()),
+                "id_b": pa.array(self.ids[col], type=pa.int64()),
+                "cos_sim": pa.array(np.round(cos[row, col], 6)),
+            })
+
+    out = ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------- rows-only queries (non-SQL-expressible) --
 
 def q_grid_tileset(sf_dir: str):
@@ -506,6 +683,10 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "text_features": (q_text_features, SQL_TEXT_FEATURES),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "supplier_region": (q_supplier_region, SQL_SUPPLIER_REGION),
+    "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "grid_tileset": (q_grid_tileset, None),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),

@@ -25,11 +25,11 @@ def tune(num_cpus: int | None = None) -> None:
     if num_cpus is None:
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
     ctx.min_parallelism = max(8, num_cpus)
-    # NB: ShuffleStrategy.HASH_SHUFFLE measured ~25% faster warm on groupby
-    # (1.6s vs 2.2s on a 100k-row dedup at 32 CPUs) but its aggregator
-    # actors deadlock against actor-pool map stages on small-CPU sessions
-    # (observed: pytest at num_cpus=4 stalls indefinitely) — so we keep the
-    # sort-based default; min_parallelism is the big lever (200→cpus cut
-    # fixed shuffle overhead 5-20x on small inputs).
+    # NB: the session keeps the sort-based shuffle default here; bench.py
+    # opts into ShuffleStrategy.HASH_SHUFFLE explicitly (2-4x faster for the
+    # flagship dedup exchange when partitions are clamped to cluster cores —
+    # see dedup_exact). Tests stay on sort: hash aggregator actors can
+    # starve actor-pool map stages on <8-CPU sessions when partitions
+    # outnumber free cores.
     _ = ShuffleStrategy  # documented above
     logging.getLogger("ray.data").setLevel(logging.ERROR)

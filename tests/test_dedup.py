@@ -1,0 +1,81 @@
+"""dedup_exact (both exchange paths) + partial combiner oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+from ray.data.context import DataContext, ShuffleStrategy
+
+from geetiles_ray.pipelines import dedup as dedupmod
+
+
+def _pages_with_cross_block_dups(n=5000, nblocks=8) -> ray.data.Dataset:
+    """Every 10th key appears in TWO different blocks; the later copy has a
+    later ts and must lose."""
+    rng = np.random.default_rng(7)
+    key = np.arange(n) % (n // 2 + n // 10)      # forced collisions
+    ts = rng.permutation(n).astype("int64")
+    df = pd.DataFrame({"url": [f"u{k}" for k in key], "warc_ts": ts,
+                       "payload": rng.integers(0, 1 << 30, n)})
+    return ray.data.from_pandas(df, override_num_blocks=nblocks)
+
+
+def _oracle(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["url", "warc_ts"], kind="stable") \
+        .drop_duplicates(["url"], keep="first") \
+        .sort_values("url").reset_index(drop=True)
+
+
+class TestDedupExact:
+    def test_sort_path_matches_pandas(self):
+        ds = _pages_with_cross_block_dups()
+        want = _oracle(ds.to_pandas())
+        got = dedupmod.dedup_exact(ds, key="url", order_col="warc_ts") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_hash_shuffle_path_matches_sort_path(self):
+        # the DataContext is snapshotted at dataset creation, so the strategy
+        # flip must precede _pages_with_cross_block_dups()
+        ctx = DataContext.get_current()
+        old = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            ds = _pages_with_cross_block_dups()
+            want = _oracle(ds.to_pandas())
+            got = dedupmod.dedup_exact(ds, key="url", order_col="warc_ts") \
+                .to_pandas().sort_values("url").reset_index(drop=True)
+        finally:
+            ctx.shuffle_strategy = old
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_multi_key(self):
+        df = pd.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"],
+                           "v": [5, 3, 9, 1, 7]})
+        got = dedupmod.dedup_exact(ray.data.from_pandas(df, override_num_blocks=3),
+                                   key=["a", "b"], order_col="v") \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        want = df.sort_values(["a", "b", "v"], kind="stable") \
+            .drop_duplicates(["a", "b"], keep="first") \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestPartialCombiners:
+    def test_counts_match_pandas(self):
+        ds = _pages_with_cross_block_dups()
+        df = ds.to_pandas()
+        got = dedupmod.partial_counts(ds, ["url"], "n").to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        want = df.groupby("url", as_index=False).size() \
+            .rename(columns={"size": "n"}).sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_sums_shuffle_reduce_matches_driver_reduce(self):
+        ds = _pages_with_cross_block_dups()
+        a = dedupmod.partial_sums(ds, ["url"], "payload", "s", reduce="driver") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        b = dedupmod.partial_sums(ds, ["url"], "payload", "s", reduce="shuffle") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
