@@ -212,6 +212,39 @@ def cmd_zip(a):
     print(f"zipped {n} chips to {out}")
 
 
+def cmd_ingest(a):
+    """Web-page ingest (the graft's headline job, north rule): pages parquet
+    → extract → geocode → tile-assign → url-dedup → checkpointed partitioned
+    output with per-partition lineage manifests. Re-running after a kill
+    skips finished partitions (the reference's skip_if_exists resume,
+    gee.py:267-274, at partition granularity)."""
+    import ray.data
+
+    from .pipelines import dedup as dedupmod
+    from .pipelines import flagship
+    from .sources import pages as pagesmod
+    from .stages import assign as assignmod
+    from .state import manifest as manifestmod
+
+    if a.pages_parquet:
+        pages = ray.data.read_parquet(a.pages_parquet)
+    else:
+        pages = pagesmod.generate_pages(a.n_pages)
+    tiles = _load_tiles(a.tiles_file) if a.tiles_file \
+        else flagship.build_fixture_tileset(a.chip_size_meters)
+
+    extracted = pages.map_batches(pagesmod.extract_text_batch,
+                                  batch_format="pyarrow")
+    assigned = assignmod.assign_pages(extracted, tiles, use_actors=False)
+    slim = assigned.drop_columns(["html", "text"])
+    deduped = dedupmod.dedup_exact(slim, key="url", order_col="warc_ts")
+    res = manifestmod.checkpointed_write(deduped, a.dest_dir, key_col="url",
+                                         n_partitions=a.n_partitions)
+    print(f"ingested {res['total_rows']} rows -> {a.dest_dir} "
+          f"({len(res['written'])} partitions written, "
+          f"{len(res['skipped'])} resumed/skipped)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="geetiles-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -288,6 +321,16 @@ def main(argv=None):
     z.add_argument("--dataset_def", default=None)
     z.add_argument("--labels_dataset_def", default=None)
     z.set_defaults(fn=cmd_zip)
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("--pages_parquet", default=None,
+                     help="input pages parquet (default: synthetic fixture)")
+    ing.add_argument("--n_pages", type=int, default=100000)
+    ing.add_argument("--tiles_file", default=None)
+    ing.add_argument("--chip_size_meters", type=float, default=5000.0)
+    ing.add_argument("--dest_dir", required=True)
+    ing.add_argument("--n_partitions", type=int, default=64)
+    ing.set_defaults(fn=cmd_ingest)
 
     a = p.parse_args(argv)
     _ray_session()

@@ -120,20 +120,59 @@ def generate_pages(n: int, override_num_blocks: int | None = None) -> ray.data.D
     )
 
 
+import re as _re
+
+# compiled once at import (workers import the module once per process —
+# the stateful-stage rule without needing an actor for stateless regex)
+_SCRIPT_STYLE_RE = _re.compile(
+    rb"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", _re.S | _re.I)
+_COMMENT_RE = _re.compile(rb"<!--.*?-->", _re.S)
+_TAG_RE = _re.compile(rb"<[^>]*>")
+_WS_RE = _re.compile(r"\s+")
+_NUM_ENT_RE = _re.compile(r"&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
+_NAMED_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&apos;": "'", "&#39;": "'", "&nbsp;": " ",
+}
+
+
+def _decode_entities(s: str) -> str:
+    if "&" not in s:
+        return s
+    for k, v in _NAMED_ENTITIES.items():
+        s = s.replace(k, v)
+    return _NUM_ENT_RE.sub(
+        lambda m: chr(int(m.group(1)[1:], 16) if m.group(1)[0] in "xX"
+                      else int(m.group(1))), s)
+
+
+def extract_text(h: bytes) -> str:
+    """One page: html bytes → visible text. Body span → drop script/style/
+    noscript/comments → strip tags (tag boundary = word boundary) →
+    entity decode → whitespace normalize. Plain body text (the fixture
+    generator's shape, and the common fast path) passes through
+    byte-identical — the north-rule invariant."""
+    lo = h.find(b"<body")
+    lo = h.find(b">", lo) + 1 if lo >= 0 else 0
+    hi = h.rfind(b"</body>")
+    if hi < 0:
+        hi = len(h)
+    body = h[lo:hi]
+    if b"<" in body or b"&" in body:
+        body = _SCRIPT_STYLE_RE.sub(b" ", body)
+        body = _COMMENT_RE.sub(b" ", body)
+        body = _TAG_RE.sub(b" ", body)
+        s = _decode_entities(body.decode("utf-8", errors="replace"))
+        return _WS_RE.sub(" ", s).strip()
+    return body.decode("utf-8", errors="replace")
+
+
 def extract_text_batch(batch: pa.Table, html_col: str = "html",
                        out_col: str = "text_extracted") -> pa.Table:
     """html → text extraction stage (the graft's payload transform; the
-    north rule requires the extracted text to be byte-identical per url).
-    Finds the <body>…</body> span; tolerant of attribute noise."""
+    north rule requires the extracted text to be byte-identical per url)."""
     htmls = batch[html_col].to_pylist()
-    out = []
-    for h in htmls:
-        lo = h.find(b"<body")
-        lo = h.find(b">", lo) + 1 if lo >= 0 else 0
-        hi = h.rfind(b"</body>")
-        if hi < 0:
-            hi = len(h)
-        out.append(h[lo:hi].decode("utf-8", errors="replace"))
+    out = [extract_text(h) for h in htmls]
     cols = {name: batch[name] for name in batch.column_names}
     cols[out_col] = pa.array(out, type=pa.string())
     return pa.table(cols)

@@ -189,3 +189,22 @@ class TestPagesFixture:
         lon, lat = geo.geocode(df.url.tolist(), df.lang.to_numpy())
         assert (lon >= geo.AOI_W).all() and (lon < geo.AOI_E).all()
         assert (lat >= geo.AOI_S).all() and (lat < geo.AOI_N).all()
+
+
+class TestExtractor:
+    def test_messy_html(self):
+        from geetiles_ray.sources.pages import extract_text
+        h = (b"<html><head><title>t</title><style>p{color:red}</style></head>"
+             b"<body class='x'><script>var a=1;</script><!-- c -->"
+             b"<h1>Hello &amp; welcome</h1>\n\n<p>line   one</p>"
+             b"<p>caf&#233; &#x41;</p></body></html>")
+        assert extract_text(h) == "Hello & welcome line one café A"
+
+    def test_no_body_tag(self):
+        from geetiles_ray.sources.pages import extract_text
+        assert extract_text(b"plain words only") == "plain words only"
+
+    def test_nested_script_not_greedy(self):
+        from geetiles_ray.sources.pages import extract_text
+        h = b"<body><script>x</script>keep<script>y</script>also</body>"
+        assert extract_text(h) == "keep also"
