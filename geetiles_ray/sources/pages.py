@@ -86,7 +86,16 @@ def expected_texts(urls) -> list[str]:
 
 
 def html_of_text(text: str) -> bytes:
-    return _WRAP_PRE + text.encode("utf-8") + _WRAP_POST
+    """Crawl-shaped html for a text: head with title+style, body with the
+    words re-flowed into <p> paragraphs, a script block and a comment —
+    so extraction must do real work (tag strip, script/comment removal,
+    whitespace normalize) and still return ``text`` byte-identically
+    (paragraph boundaries normalize to the single spaces they replaced)."""
+    words = text.split(" ")
+    paras = [" ".join(words[i:i + 12]) for i in range(0, len(words), 12)]
+    body = "</p>\n<p>".join(paras)
+    return (_WRAP_PRE + b"<script>var t0=Date.now();</script><!-- crawl -->"
+            b"<p>" + body.encode("utf-8") + b"</p>" + _WRAP_POST)
 
 
 def _gen_batch(batch: pa.Table) -> pa.Table:
