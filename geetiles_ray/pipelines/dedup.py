@@ -90,6 +90,92 @@ def dedup_exact(
     return pre.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
+                reduce: str = "driver") -> "object":
+    """Sorted uint64 hashes of key values whose GLOBAL count ≥ 2, as a
+    broadcast ``ray.put`` ref. The scan is column-pruned (only the key
+    column leaves each block) and pre-aggregated per block, so the data
+    moved is |distinct keys per block| × 16 B. Hash collisions only ever
+    route extra rows through the exchange (false positive = harmless),
+    never lose a duplicate (same key ⇒ same hash)."""
+    import ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def local(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.select(keys).to_pandas(), index=False).to_numpy()
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"__h": pa.array(u, type=pa.uint64()),
+                         "__partial": pa.array(c.astype(np.int64))})
+
+    partial = ds.select_columns(keys).map_batches(local, batch_format="pyarrow")
+    if reduce == "shuffle":
+        merged = _finalize_partials(partial, ["__h"], "n", "shuffle").to_pandas()
+        dups = np.sort(merged.loc[merged.n >= 2, "__h"].to_numpy().astype(np.uint64))
+        return ray.put(dups)
+    # driver fold on raw uint64 arrays (np.unique + bincount) — ~6x faster
+    # than a pandas groupby at millions of keys; the driver only ever holds
+    # (distinct keys per block) hashes, not rows
+    hs, cs = [], []
+    for b in partial.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        hs.append(b["__h"].to_numpy())
+        cs.append(b["__partial"].to_numpy())
+    if not hs:
+        return ray.put(np.empty(0, dtype=np.uint64))
+    h = np.concatenate(hs)
+    c = np.concatenate(cs)
+    uniq, inv = np.unique(h, return_inverse=True)
+    totals = np.bincount(inv, weights=c.astype(np.float64))
+    return ray.put(uniq[totals >= 2])
+
+
+def dedup_exact_twopass(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    order_col: str | list[str] | None = None,
+    nbuckets: int = 64,
+    keep: str = "first",
+    dup_ref=None,
+) -> ray.data.Dataset:
+    """dedup_exact for low-duplicate-rate corpora: pass 1 finds the global
+    duplicate-key set (narrow column-pruned scan, see dup_key_set); pass 2
+    routes ONLY rows whose key is in that set through the hash exchange —
+    unique-key rows bypass the shuffle entirely. At a few % duplicates the
+    exchange shrinks ~25x, which is what lets the flagship scale past the
+    single-store shuffle ceiling (BENCH/BASELINE.md).
+
+    ``ds`` is scanned twice (plus the narrow pass), so it must be cheap to
+    re-scan: a materialized dataset, or a parquet source (where pass 1 is a
+    column-pruned read). Regime note: the broadcast set is O(duplicate
+    keys) — right for web crawls deduped incrementally (few % new dups);
+    for high-dup-rate corpora fall back to dedup_exact's full exchange.
+    """
+    import ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if dup_ref is None:
+        dup_ref = dup_key_set(ds, key)
+
+    def part(want_dup: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            h = pd.util.hash_pandas_object(
+                batch.select(keys).to_pandas(), index=False).to_numpy()
+            if len(dups):
+                idx = np.searchsorted(dups, h)
+                found = (idx < len(dups)) & (dups[np.minimum(idx, len(dups) - 1)] == h)
+            else:
+                found = np.zeros(len(h), dtype=bool)
+            return batch.filter(pa.array(found if want_dup else ~found))
+        return f
+
+    clean = ds.map_batches(part(False), batch_format="pyarrow")
+    dirty = dedup_exact(ds.map_batches(part(True), batch_format="pyarrow"),
+                        key, order_col, nbuckets, keep)
+    return clean.union(dirty)
+
+
 def _finalize_partials(
     partial: ray.data.Dataset, group_cols: list[str], alias: str, reduce: str
 ) -> ray.data.Dataset:

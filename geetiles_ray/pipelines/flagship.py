@@ -71,12 +71,16 @@ def run(
                                           concurrency=None, batch_size=batch_size,
                                           use_actors=False)
     slim = assigned_all.drop_columns(["html", "text"])
-    deduped = dedupmod.dedup_exact(slim, key="url", order_col="warc_ts",
-                                   nbuckets=dedup_buckets)
-    # materialize ONCE, then derive the per-tile counts from the materialized
-    # blocks — partial_counts' driver reduce is eager, so feeding it the lazy
-    # `deduped` would execute the whole pipeline a second time when the
-    # caller also consumes `deduped`
+    # materialize the transformed-but-not-yet-deduped table once (at cluster
+    # scale this is the checkpointed partitioned parquet write, state/
+    # manifest.py), then two-pass dedup: only rows of globally-duplicated
+    # urls go through the exchange — a few % of the data
+    slim_mat = slim.materialize()
+    deduped = dedupmod.dedup_exact_twopass(slim_mat, key="url",
+                                           order_col="warc_ts",
+                                           nbuckets=dedup_buckets)
+    # second materialize so the eager driver-reduce combiner below doesn't
+    # re-execute the dedup when the caller also consumes `assigned`
     assigned = deduped.materialize()
     counts = dedupmod.partial_counts(assigned, ["tile_id", "lang"], "n_pages")
     return assigned, counts

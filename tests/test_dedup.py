@@ -79,3 +79,30 @@ class TestPartialCombiners:
         b = dedupmod.partial_sums(ds, ["url"], "payload", "s", reduce="shuffle") \
             .to_pandas().sort_values("url").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestDedupTwoPass:
+    def test_matches_single_pass(self):
+        ds = _pages_with_cross_block_dups().materialize()
+        want = _oracle(ds.to_pandas())
+        got = dedupmod.dedup_exact_twopass(ds, key="url", order_col="warc_ts") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_no_duplicates_bypasses_everything(self):
+        df = pd.DataFrame({"url": [f"u{i}" for i in range(100)],
+                           "warc_ts": range(100)})
+        ds = ray.data.from_pandas(df, override_num_blocks=4).materialize()
+        out = dedupmod.dedup_exact_twopass(ds, key="url", order_col="warc_ts")
+        assert out.count() == 100
+
+    def test_multi_key(self):
+        df = pd.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"],
+                           "v": [5, 3, 9, 1, 7]})
+        ds = ray.data.from_pandas(df, override_num_blocks=3).materialize()
+        got = dedupmod.dedup_exact_twopass(ds, key=["a", "b"], order_col="v") \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        want = df.sort_values(["a", "b", "v"], kind="stable") \
+            .drop_duplicates(["a", "b"], keep="first") \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
