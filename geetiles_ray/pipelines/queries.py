@@ -598,6 +598,149 @@ ORDER BY id_a, id_b
 """
 
 
+def q_foreign_overlap(sf_dir: str):
+    """J1 largest-overlap spatial join with a FULL SQL oracle: both tilesets
+    are axis-aligned box grids generated arithmetically (fine 20x20 over the
+    AOI, coarse 5x6 offset grid that deliberately under-covers in x so some
+    tiles get '-1'), so DuckDB can reproduce the argmax-overlap assignment
+    exactly (ties broken area DESC then foreign id ASC = the assigner's
+    first-max in foreign row order). Exercises the REAL join code path
+    (broadcast_foreign + ForeignAssigner), not a SQL-shaped re-derivation."""
+    from ..functions import geom as geommod
+    from ..stages import joins as joinsmod
+
+    def boxes(nx, ny, x0, y0, dx, dy, prefix):
+        ids, rings = [], []
+        minx = np.empty(nx * ny); miny = np.empty(nx * ny)
+        maxx = np.empty(nx * ny); maxy = np.empty(nx * ny)
+        k = 0
+        for i in range(nx):
+            for j in range(ny):
+                ids.append(f"{prefix}{i:02d}{j:02d}")
+                minx[k] = x0 + i * dx; maxx[k] = x0 + (i + 1) * dx
+                miny[k] = y0 + j * dy; maxy[k] = y0 + (j + 1) * dy
+                rings.append(geommod.box_ring(minx[k], miny[k], maxx[k], maxy[k]))
+                k += 1
+        return pa.table({
+            "identifier": pa.array(ids, type=pa.string()),
+            "wkb": pa.array([geommod.ring_to_wkb(r) for r in rings],
+                            type=pa.binary()),
+            "minx": pa.array(minx), "miny": pa.array(miny),
+            "maxx": pa.array(maxx), "maxy": pa.array(maxy),
+        })
+
+    fine = ray.data.from_arrow(boxes(20, 20, 5.8, 49.4, 0.04, 0.04, "t"))
+    # 0.143 is incommensurate with the fine 0.04 grid: no coarse boundary
+    # ever bisects a fine tile exactly, so argmax areas have no float ties
+    coarse = ray.data.from_arrow(boxes(5, 6, 5.77, 49.37, 0.143, 0.143, "f"))
+    out = joinsmod.add_foreign_partition(fine, coarse, "coarse", concurrency=2)
+    return out.select_columns(["identifier", "foreignid_coarse"]).to_pandas() \
+        .sort_values("identifier").reset_index(drop=True)
+
+
+SQL_FOREIGN_OVERLAP = """
+WITH fine AS (
+  SELECT 't' || lpad(CAST(i AS VARCHAR),2,'0') || lpad(CAST(j AS VARCHAR),2,'0') AS identifier,
+         5.8 + i*0.04 AS minx, 49.4 + j*0.04 AS miny,
+         5.8 + (i+1)*0.04 AS maxx, 49.4 + (j+1)*0.04 AS maxy
+  FROM generate_series(0,19) t1(i), generate_series(0,19) t2(j)
+), coarse AS (
+  SELECT 'f' || lpad(CAST(a AS VARCHAR),2,'0') || lpad(CAST(b AS VARCHAR),2,'0') AS f_id,
+         5.77 + a*0.143 AS minx, 49.37 + b*0.143 AS miny,
+         5.77 + (a+1)*0.143 AS maxx, 49.37 + (b+1)*0.143 AS maxy
+  FROM generate_series(0,4) t3(a), generate_series(0,5) t4(b)
+), ov AS (
+  SELECT fine.identifier, coarse.f_id,
+         GREATEST(0, LEAST(fine.maxx, coarse.maxx) - GREATEST(fine.minx, coarse.minx)) *
+         GREATEST(0, LEAST(fine.maxy, coarse.maxy) - GREATEST(fine.miny, coarse.miny)) AS area
+  FROM fine, coarse
+), best AS (
+  SELECT identifier, f_id,
+         ROW_NUMBER() OVER (PARTITION BY identifier ORDER BY area DESC, f_id) AS rn
+  FROM ov WHERE area > 0
+)
+SELECT fine.identifier,
+       COALESCE((SELECT b.f_id FROM best b
+                 WHERE b.identifier = fine.identifier AND b.rn = 1), '-1')
+           AS foreignid_coarse
+FROM fine ORDER BY identifier
+"""
+
+
+def q_foreign_weighted(sf_dir: str):
+    """J2 area-weighted proportions transfer with a SQL oracle: same box
+    grids as q_foreign_overlap; each coarse tile carries a one-key
+    proportions map {"s": score} (score an arithmetic function of its
+    index), and the output is each fine tile's weighted score = Σ wᵢ·sᵢ
+    with wᵢ = intersection-area share — through the REAL J2 path
+    (add_foreign_proportions). Rounded to 9 decimals on both sides."""
+    from ..functions import geom as geommod
+    from ..stages import joins as joinsmod
+
+    def boxes(nx, ny, x0, y0, dx, dy, prefix, with_score=False):
+        ids, rings, scores = [], [], []
+        minx = np.empty(nx * ny); miny = np.empty(nx * ny)
+        maxx = np.empty(nx * ny); maxy = np.empty(nx * ny)
+        k = 0
+        for i in range(nx):
+            for j in range(ny):
+                ids.append(f"{prefix}{i:02d}{j:02d}")
+                minx[k] = x0 + i * dx; maxx[k] = x0 + (i + 1) * dx
+                miny[k] = y0 + j * dy; maxy[k] = y0 + (j + 1) * dy
+                rings.append(geommod.box_ring(minx[k], miny[k], maxx[k], maxy[k]))
+                scores.append(float(i * 10 + j))
+                k += 1
+        t = {
+            "identifier": pa.array(ids, type=pa.string()),
+            "wkb": pa.array([geommod.ring_to_wkb(r) for r in rings],
+                            type=pa.binary()),
+            "minx": pa.array(minx), "miny": pa.array(miny),
+            "maxx": pa.array(maxx), "maxy": pa.array(maxy),
+        }
+        if with_score:
+            t["props"] = pa.array([[("s", s)] for s in scores],
+                                  type=pa.map_(pa.string(), pa.float64()))
+        return pa.table(t)
+
+    fine = ray.data.from_arrow(boxes(20, 20, 5.8, 49.4, 0.04, 0.04, "t"))
+    coarse = ray.data.from_arrow(
+        boxes(5, 6, 5.77, 49.37, 0.143, 0.143, "f", with_score=True))
+    out = joinsmod.add_foreign_proportions(fine, coarse, "coarse", "props",
+                                           out_col="w", concurrency=2).to_pandas()
+    # round 7: the assigner's areas come from the generic polygon-clip
+    # shoelace (relative error ~1e-9 vs the SQL box formula), so 9
+    # decimals can split on exact-decimal scores like 4.75
+    out["weighted_score"] = [round(dict(m).get("s", 0.0), 7) for m in out["w"]]
+    return out[["identifier", "weighted_score"]] \
+        .sort_values("identifier").reset_index(drop=True)
+
+
+SQL_FOREIGN_WEIGHTED = """
+WITH fine AS (
+  SELECT 't' || lpad(CAST(i AS VARCHAR),2,'0') || lpad(CAST(j AS VARCHAR),2,'0') AS identifier,
+         5.8 + i*0.04 AS minx, 49.4 + j*0.04 AS miny,
+         5.8 + (i+1)*0.04 AS maxx, 49.4 + (j+1)*0.04 AS maxy
+  FROM generate_series(0,19) t1(i), generate_series(0,19) t2(j)
+), coarse AS (
+  SELECT CAST(a*10 + b AS DOUBLE) AS score,
+         5.77 + a*0.143 AS minx, 49.37 + b*0.143 AS miny,
+         5.77 + (a+1)*0.143 AS maxx, 49.37 + (b+1)*0.143 AS maxy
+  FROM generate_series(0,4) t3(a), generate_series(0,5) t4(b)
+), ov AS (
+  SELECT fine.identifier, coarse.score,
+         GREATEST(0, LEAST(fine.maxx, coarse.maxx) - GREATEST(fine.minx, coarse.minx)) *
+         GREATEST(0, LEAST(fine.maxy, coarse.maxy) - GREATEST(fine.miny, coarse.miny)) AS area
+  FROM fine, coarse
+), agg AS (
+  SELECT identifier, SUM(area * score) / SUM(area) AS ws
+  FROM ov WHERE area > 0 GROUP BY identifier
+)
+SELECT fine.identifier,
+       ROUND(COALESCE(agg.ws, 0.0), 7) AS weighted_score
+FROM fine LEFT JOIN agg USING (identifier) ORDER BY identifier
+"""
+
+
 # ------------------------------- rows-only queries (non-SQL-expressible) --
 
 def q_grid_tileset(sf_dir: str):
@@ -687,6 +830,8 @@ REGISTRY = {
     "supplier_region": (q_supplier_region, SQL_SUPPLIER_REGION),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "foreign_overlap": (q_foreign_overlap, SQL_FOREIGN_OVERLAP),
+    "foreign_weighted": (q_foreign_weighted, SQL_FOREIGN_WEIGHTED),
     "grid_tileset": (q_grid_tileset, None),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
