@@ -105,7 +105,17 @@ def save_tileset(
 
 
 def load_tileset(path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(path)
+    # top-level files only: downstream steps nest their outputs INSIDE the
+    # tileset directory (the reference's {tileset}/{dataset}/{id}.tif
+    # layout, plus {dataset}_proportions parquet), so a recursive read
+    # would union foreign schemas into the tileset
+    if os.path.isdir(path):
+        shards = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        if shards:
+            return ray.data.read_parquet(shards)
+    return ray.data.read_parquet(path, file_extensions=["parquet"])
 
 
 def tileset_name_parts(path: str) -> tuple[str | None, str | None]:

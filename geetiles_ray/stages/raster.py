@@ -197,8 +197,11 @@ def write_geotiff_layout(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
                 n_written += 1
             return pa.table({"written": pa.array([n_written])})
 
+    # (1, 2): autoscaling pool with min 1 so this stage can always place an
+    # actor even when an upstream pool already holds most session CPUs (a
+    # fixed min of 2 deadlocks a 4-CPU session against a 3-actor renderer)
     res = rasters.map_batches(Writer, batch_format="pyarrow", batch_size=256,
-                              concurrency=2).to_pandas()
+                              concurrency=(1, 2)).to_pandas()
     return int(res.written.sum())
 
 
