@@ -741,6 +741,39 @@ FROM fine LEFT JOIN agg USING (identifier) ORDER BY identifier
 """
 
 
+def q_rare_parts(sf_dir: str):
+    """J5 semi-join through the real broadcast path (semi_join_ids): the 25
+    least-ordered parts (ties broken by partkey — scale-free, unlike a count
+    threshold). Per-part order counts come from the per-block combiner
+    (partial_counts), so only |distinct parts per block| rows reach the
+    driver; the 25 winning ids are broadcast into the part-table filter."""
+    from ..stages import joins as joinsmod
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+    counts = dedupmod.partial_counts(li, ["l_partkey"], "n_orders").to_pandas()
+    rare = counts.sort_values(["n_orders", "l_partkey"]).head(25)
+    n_of = dict(zip(rare.l_partkey, rare.n_orders))
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey", "p_name"])
+    out = joinsmod.semi_join_ids(parts, set(n_of), col="p_partkey") \
+        .to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    out["n_orders"] = out.p_partkey.map(n_of).astype("int64")
+    return out
+
+
+SQL_RARE_PARTS = """
+WITH c AS (
+  SELECT l_partkey, COUNT(*) AS n_orders FROM lineitem GROUP BY l_partkey
+  ORDER BY n_orders, l_partkey LIMIT 25
+)
+SELECT p_partkey, p_name, n_orders
+FROM part JOIN c ON p_partkey = l_partkey
+ORDER BY p_partkey
+"""
+
+
 # ------------------------------- rows-only queries (non-SQL-expressible) --
 
 def q_grid_tileset(sf_dir: str):
@@ -832,6 +865,7 @@ REGISTRY = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "foreign_overlap": (q_foreign_overlap, SQL_FOREIGN_OVERLAP),
     "foreign_weighted": (q_foreign_weighted, SQL_FOREIGN_WEIGHTED),
+    "rare_parts": (q_rare_parts, SQL_RARE_PARTS),
     "grid_tileset": (q_grid_tileset, None),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
