@@ -145,9 +145,13 @@ def dedup_exact_twopass(
     exchange shrinks ~25x, which is what lets the flagship scale past the
     single-store shuffle ceiling (BENCH/BASELINE.md).
 
-    ``ds`` is scanned twice (plus the narrow pass), so it must be cheap to
-    re-scan: a materialized dataset, or a parquet source (where pass 1 is a
-    column-pruned read). Regime note: the broadcast set is O(duplicate
+    ``ds`` is executed three times (narrow pass + clean filter + dirty
+    filter), so it MUST re-scan deterministically with identical rows — a
+    materialized dataset or a file source. A non-deterministic upstream
+    (samples, unseeded shuffles, time-dependent transforms) breaks
+    CORRECTNESS here, not just speed: a key counted once in pass 1 could
+    appear twice in the clean scan and both copies would bypass the
+    exchange. Regime note: the broadcast set is O(duplicate
     keys) — right for web crawls deduped incrementally (few % new dups);
     for high-dup-rate corpora fall back to dedup_exact's full exchange.
     """

@@ -45,6 +45,7 @@ def run(
     concurrency: int | tuple = 8,
     batch_size: int = 8192,
     dedup_buckets: int = 64,
+    use_actors: bool = False,
 ):
     """pages(url, warc_ts, html, text, lang) → (assignments, tile_lang_counts).
 
@@ -65,11 +66,13 @@ def run(
         tiles = build_fixture_tileset(chip_size_meters)
 
     extracted = pages.map_batches(pagesmod.extract_text_batch, batch_format="pyarrow")
-    # task path (use_actors=False): fuses generate→extract→assign→pre-dedup
-    # into ONE full-width operator; see assign_pages docstring
+    # task path (default): fuses generate→extract→assign→pre-dedup into ONE
+    # full-width operator (see assign_pages docstring); `concurrency` only
+    # sizes the pool when use_actors=True
     assigned_all = assignmod.assign_pages(extracted, tiles,
-                                          concurrency=None, batch_size=batch_size,
-                                          use_actors=False)
+                                          concurrency=concurrency,
+                                          batch_size=batch_size,
+                                          use_actors=use_actors)
     slim = assigned_all.drop_columns(["html", "text"])
     # materialize the transformed-but-not-yet-deduped table once (at cluster
     # scale this is the checkpointed partitioned parquet write, state/

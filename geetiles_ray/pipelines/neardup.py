@@ -31,7 +31,9 @@ def _hash_shingles(texts: list[str], k: int) -> list[np.ndarray]:
     bytes → sliding window view → polynomial hash Σ b[j]·257^j, which is
     EXACT in uint64 for k ≤ 7 (255·257^6 · 7 < 2^64), then np.unique.
     ~40x faster than per-substring Python sets at crawl-page sizes."""
-    assert k <= 7
+    if k > 7:
+        raise ValueError(f"shingle_k={k} not supported: the uint64 polynomial "
+                         "hash is exact only for k <= 7")
     pows = np.uint64(257) ** np.arange(k, dtype=np.uint64)
     out = []
     for t in texts:
@@ -48,6 +50,33 @@ def _perm_params(num_perm: int, seed: int = 42):
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
     return a, b
+
+
+def optimal_bands(threshold: float, num_perm: int,
+                  fp_weight: float = 0.5) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing weighted false-positive +
+    false-negative probability mass for the LSH S-curve
+    P(candidate | J=s) = 1-(1-s^r)^b — the standard datasketch-style
+    parameter search, evaluated by numerical integration of the curve
+    below/above the threshold. Guarantees the banding is co-tuned with the
+    caller's threshold instead of a fixed (b, r)."""
+    best, best_err = (16, num_perm // 16 or 1), float("inf")
+    s = np.linspace(0.0, 1.0, 201)
+    below = s <= threshold
+    # any (b, r) with b*r <= num_perm (the stage then uses exactly b*r
+    # permutations) — restricting to exact divisors of num_perm makes the
+    # r-grid so coarse (4->8->16 at 128) that some thresholds can't be hit
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        p = 1.0 - (1.0 - s ** r) ** b
+        fp = np.trapz(p[below], s[below])
+        fn = np.trapz(1.0 - p[~below], s[~below])
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
@@ -155,7 +184,8 @@ def exact_jaccard(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.Data
 
 
 def dedup_minhash(ds: ray.data.Dataset, id_col: str, text_col: str,
-                  threshold: float = 0.8, num_perm: int = 128, bands: int = 16,
+                  threshold: float = 0.8, num_perm: int = 128,
+                  bands: int | None = None,
                   shingle_k: int = 5) -> pd.DataFrame:
     """Full near-dup pipeline. Returns (doc_id, group_id) for every doc in a
     near-dup group (group_id = min doc id of its connected component).
@@ -167,6 +197,13 @@ def dedup_minhash(ds: ray.data.Dataset, id_col: str, text_col: str,
     documented alternative for adversarial corpora is iterative min-label
     propagation via groupby.
     """
+    if bands is None:
+        # co-tune banding with the requested threshold (a fixed (b, r) is
+        # only right for one threshold: 16x8 bands recall ~18% at J=0.6).
+        # FN weighted 4x FP: misses are unrecoverable, false candidates are
+        # killed by the exact-Jaccard verification below.
+        bands, rows = optimal_bands(threshold, num_perm, fp_weight=0.2)
+        num_perm = bands * rows
     band_rows = ds.map_batches(
         MinHashStage, fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,

@@ -673,7 +673,7 @@ def q_foreign_weighted(sf_dir: str):
     proportions map {"s": score} (score an arithmetic function of its
     index), and the output is each fine tile's weighted score = Σ wᵢ·sᵢ
     with wᵢ = intersection-area share — through the REAL J2 path
-    (add_foreign_proportions). Rounded to 9 decimals on both sides."""
+    (add_foreign_proportions). Rounded to 7 decimals on both sides."""
     from ..functions import geom as geommod
     from ..stages import joins as joinsmod
 

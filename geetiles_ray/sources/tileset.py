@@ -113,8 +113,12 @@ def load_tileset(path: str) -> ray.data.Dataset:
         shards = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.endswith(".parquet"))
-        if shards:
-            return ray.data.read_parquet(shards)
+        if not shards:
+            raise ValueError(
+                f"{path}: tileset directory has no top-level .parquet "
+                "shards (a recursive read would union nested outputs' "
+                "schemas into the tileset)")
+        return ray.data.read_parquet(shards)
     return ray.data.read_parquet(path, file_extensions=["parquet"])
 
 
