@@ -774,6 +774,56 @@ ORDER BY p_partkey
 """
 
 
+def q_cell_join_assign(sf_dir: str):
+    """The BOTH-SIDES-LARGE assignment path (assign_by_cell_join: tiles
+    exploded to covering cells, pages keyed by cell, groupby co-location
+    with salt=2 hot-cell splitting) against a full SQL oracle. The tileset
+    is a gap-free 17x17 box grid over the AOI: 17 is incommensurate with
+    the geocoder's 1e-6 unit lattice, so no point ever lands exactly on a
+    tile boundary (min distance 0.8/(17e6) ~ 4.7e-8 >> float noise) and
+    containment == floor arithmetic on both sides."""
+    from ..functions import geom as geommod
+    from ..stages import assign as assignmod
+
+    n = 17
+    dx = (geo.AOI_E - geo.AOI_W) / n
+    dy = (geo.AOI_N - geo.AOI_S) / n
+    ids, minx, miny, maxx, maxy = [], [], [], [], []
+    for j in range(n):          # key = j*n + i (row-major like arith_tile)
+        for i in range(n):
+            ids.append(f"c{j * n + i:03d}")
+            minx.append(geo.AOI_W + i * dx); maxx.append(geo.AOI_W + (i + 1) * dx)
+            miny.append(geo.AOI_S + j * dy); maxy.append(geo.AOI_S + (j + 1) * dy)
+    minx = np.array(minx); miny = np.array(miny)
+    maxx = np.array(maxx); maxy = np.array(maxy)
+    tiles = ray.data.from_arrow(pa.table({
+        "identifier": pa.array(ids, type=pa.string()),
+        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
+        "clon": (minx + maxx) / 2.0, "clat": (miny + maxy) / 2.0,
+    }))
+    pages = _docs_with_points(sf_dir).select_columns(["url", "lon", "lat"])
+    out = assignmod.assign_by_cell_join(pages, tiles, res=8, salt=2)
+    return out.select_columns(["url", "tile_id"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+
+
+def _sql_cell_join() -> str:
+    n = 17
+    dx = (geo.AOI_E - geo.AOI_W) / n
+    dy = (geo.AOI_N - geo.AOI_S) / n
+    tx = (f"LEAST(GREATEST(CAST(floor((lon - {geo.AOI_W!r}) / {dx!r}) "
+          f"AS BIGINT), 0), {n - 1})")
+    ty = (f"LEAST(GREATEST(CAST(floor((lat - {geo.AOI_S!r}) / {dy!r}) "
+          f"AS BIGINT), 0), {n - 1})")
+    return _geo_cte() + f"""
+SELECT url, 'c' || lpad(CAST({ty} * {n} + {tx} AS VARCHAR), 3, '0') AS tile_id
+FROM tiled ORDER BY url
+"""
+
+
+SQL_CELL_JOIN_ASSIGN = _sql_cell_join()
+
+
 # ------------------------------- rows-only queries (non-SQL-expressible) --
 
 def q_grid_tileset(sf_dir: str):
@@ -866,6 +916,7 @@ REGISTRY = {
     "foreign_overlap": (q_foreign_overlap, SQL_FOREIGN_OVERLAP),
     "foreign_weighted": (q_foreign_weighted, SQL_FOREIGN_WEIGHTED),
     "rare_parts": (q_rare_parts, SQL_RARE_PARTS),
+    "cell_join_assign": (q_cell_join_assign, SQL_CELL_JOIN_ASSIGN),
     "grid_tileset": (q_grid_tileset, None),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
