@@ -285,7 +285,7 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(array_length(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(array_length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
