@@ -24,9 +24,19 @@ import pyarrow as pa
 import ray.data
 
 
-def _bucket_of(values: np.ndarray, nbuckets: int) -> np.ndarray:
-    """Deterministic (cross-process) hash bucket of a key array."""
-    return (pd.util.hash_array(values) % np.uint64(nbuckets)).astype(np.int64)
+# The fast hash-shuffle dedup path relies on repartition(keys=[...]) emitting
+# exactly ONE block per hash partition, so a whole-block map_batches sees every
+# row of a key together. That holds in these Ray releases (hash-shuffle
+# finalize does not yet split partitions into target-size blocks); a future
+# Ray may split large partitions, which would let same-key rows span blocks
+# and silently survive dedup. On an unknown version we fall back to the
+# groupby().map_groups path, which is correct by contract on any version.
+_HASH_PARTITION_IS_ONE_BLOCK_VERSIONS = ("2.49.",)
+
+
+def _hash_partition_is_one_block() -> bool:
+    import ray
+    return ray.__version__.startswith(_HASH_PARTITION_IS_ONE_BLOCK_VERSIONS)
 
 
 def dedup_exact(
@@ -58,7 +68,7 @@ def dedup_exact(
     # aggregator waves instead of letting one partition exceed worker heap.
     from ray.data.context import DataContext, ShuffleStrategy
     use_hash = (DataContext.get_current().shuffle_strategy
-                == ShuffleStrategy.HASH_SHUFFLE)
+                == ShuffleStrategy.HASH_SHUFFLE) and _hash_partition_is_one_block()
     if use_hash:
         import ray
         ncores = int(ray.cluster_resources().get("CPU", 8))
@@ -226,7 +236,11 @@ def partial_counts(
     block leave the map stage (SURVEY.md §4 skew note)."""
 
     def local(batch: pa.Table) -> pa.Table:
-        return batch.group_by(group_cols).aggregate([([], "count_all")]) \
+        # select by NAME before the positional rename: pyarrow has changed
+        # the key/aggregate column ordering of TableGroupBy.aggregate across
+        # versions, but the aggregate column is deterministically named.
+        t = batch.group_by(group_cols).aggregate([([], "count_all")])
+        return t.select(group_cols + ["count_all"]) \
             .rename_columns(group_cols + ["__partial"])
 
     partial = ds.select_columns(group_cols).map_batches(local, batch_format="pyarrow")
@@ -240,7 +254,8 @@ def partial_sums(
     """Pre-aggregated sum-by-key (same combiner pattern as partial_counts)."""
 
     def local(batch: pa.Table) -> pa.Table:
-        return batch.group_by(group_cols).aggregate([(value_col, "sum")]) \
+        t = batch.group_by(group_cols).aggregate([(value_col, "sum")])
+        return t.select(group_cols + [f"{value_col}_sum"]) \
             .rename_columns(group_cols + ["__partial"])
 
     partial = ds.select_columns(group_cols + [value_col]) \

@@ -75,8 +75,13 @@ def compute_band_ids(ex: np.ndarray, ey: np.ndarray, nbands: int,
 
 
 def split_assignment(nbands: int, train_pct: float, test_pct: float,
-                     val_pct: float) -> list[str]:
-    """Band→split cyclic assignment (partitions.py:330-338, 361-363)."""
+                     val_pct: float, achieved: int | None = None) -> list[str]:
+    """Band→split cyclic assignment (partitions.py:330-338, 361-363).
+
+    ``nbands`` is the REQUESTED band count (validated, reference parity);
+    ``achieved`` is the distinct band count the k-scan actually produced —
+    the cycle is sliced to it, so a degenerate tileset that can't hit
+    exactly nbands still gets a split (as the reference does)."""
     if not np.allclose(train_pct + test_pct + val_pct, 1, atol=1e-3):
         raise ValueError("percentages must add up to one")
     min_pct = np.min([i for i in [train_pct, test_pct, val_pct] if i != 0])
@@ -87,8 +92,9 @@ def split_assignment(nbands: int, train_pct: float, test_pct: float,
         raise ValueError(
             f"not enough bands for specified percentages. increase nbands to "
             f"at least {bands_train + bands_test + bands_val}")
+    n = nbands if achieved is None else achieved
     splits = ["train"] * bands_train + ["test"] * bands_test + ["val"] * bands_val
-    return (splits * (nbands // len(splits) + 1))[:nbands]
+    return (splits * (n // len(splits) + 1))[:n]
 
 
 def split(tiles: ray.data.Dataset, nbands: int, angle: float,
@@ -98,7 +104,8 @@ def split(tiles: ray.data.Dataset, nbands: int, angle: float,
     ex, ey, idxs = _projection_inputs(tiles)
     band_id = compute_band_ids(ex, ey, nbands, angle)
     bands_ids = np.sort(np.unique(band_id))
-    splits = split_assignment(len(bands_ids), train_pct, test_pct, val_pct)
+    splits = split_assignment(nbands, train_pct, test_pct, val_pct,
+                              achieved=len(bands_ids))
     band_split_map = {int(b): s for b, s in zip(bands_ids, splits)}
     by_grid_idx = {int(g): band_split_map[int(b)] for g, b in zip(idxs, band_id)}
     ref = ray.put(by_grid_idx)

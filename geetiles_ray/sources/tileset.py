@@ -6,8 +6,9 @@ Schema (FIXTURES.md F3):
                             (bit-for-bit utils.py:232-240 parity)
     wkb        : binary   — polygon exterior ring as WKB, EPSG:4326
     minx/miny/maxx/maxy : double — denormalized bounds (fast PIP / bbox join)
-    clon, clat : double   — envelope-centroid (split banding uses this,
-                            partitions.py:323)
+    clon, clat : double   — bbox midpoint (assignment center; split banding
+                            computes its own envelope-boundary mean,
+                            partitions.py:323, in pipelines/split.py)
     area_km2   : double   — UTM-projected polygon area / 1e6
                             (partitions.py:38-46)
     cell_id    : uint64   — spatial index cell (functions/cells.py), the

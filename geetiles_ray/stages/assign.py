@@ -112,7 +112,19 @@ class TileIndex:
             minwh = min(self.bw, self.bh)
             fx = np.floor((px - self.x0) / self.bw).astype(np.int64)  # unclipped
             fy = np.floor((py - self.y0) / self.bh).astype(np.int64)
-            active = np.nonzero(gap)[0]
+            # Points whose UNCLIPPED bucket lies outside the grid cannot be
+            # inside any tile bbox, and the ring scan's termination bound
+            # (best_d2 <= (r*minwh)^2, rings centered on the unclipped
+            # bucket) may never be reached before r hits max(nbx, nby) —
+            # exiting with the possibly-non-nearest candidate from the
+            # initial border-clipped bucket. Those (rare) points get an
+            # exact vectorized brute-force nearest-center instead.
+            outside = gap & ((fx < 0) | (fx >= self.nbx)
+                             | (fy < 0) | (fy >= self.nby))
+            if outside.any():
+                self._nearest_center_brute(np.nonzero(outside)[0], px, py,
+                                           best_idx, best_d2)
+            active = np.nonzero(gap & ~outside)[0]
             max_r = max(self.nbx, self.nby)
             r = 1
             while len(active) and r <= max_r:
@@ -132,6 +144,25 @@ class TileIndex:
                 active = active[~done]
                 r += 1
         return best_idx, best_contained
+
+    def _nearest_center_brute(self, sub, px, py, best_idx, best_d2):
+        """Exact nearest tile center (identifier tie-break, matching
+        _update_best) for point indices ``sub`` — used for points outside
+        the bucket grid, where the ring scan's bound is unreachable."""
+        nt = len(self.clon)
+        # chunk points so the (chunk × nt) distance matrix stays ~64 MB
+        chunk = max(1, (1 << 23) // max(nt, 1))
+        for s in range(0, len(sub), chunk):
+            idx = sub[s:s + chunk]
+            d2 = (px[idx, None] - self.clon[None, :]) ** 2 \
+                + (py[idx, None] - self.clat[None, :]) ** 2
+            dmin = d2.min(axis=1)
+            for j, i in enumerate(idx):
+                ties = np.flatnonzero(d2[j] == dmin[j])
+                win = ties[np.argmin(self.identifier[ties])] if len(ties) > 1 \
+                    else ties[0]
+                best_idx[i] = win
+                best_d2[i] = dmin[j]
 
     def _scan_bucket(self, b, px, py, best_idx, best_d2, best_contained, sub=None):
         """Test every candidate tile of bucket(s) ``b`` against points

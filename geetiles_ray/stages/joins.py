@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -215,15 +216,17 @@ def semi_join_ids(ds: ray.data.Dataset, ids, col: str = "identifier",
                   anti: bool = False) -> ray.data.Dataset:
     """J5: semi/anti join against a broadcast id set (cmds.py:540-554
     analogue — prune rows whose id is (not) in the included set)."""
-    id_ref = ray.put(frozenset(ids))
+    id_ref = ray.put(pa.array(sorted(set(ids))))
 
     class Filter:
         def __init__(self):
+            # Arrow value-set for pc.is_in — vectorized membership, no
+            # per-row Python hashing (the set is built once per actor).
             self.ids = ray.get(id_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch[col].to_pylist()
-            mask = np.array([v in self.ids for v in vals])
-            return batch.filter(pa.array(~mask if anti else mask))
+            mask = pc.is_in(batch[col], value_set=self.ids)
+            mask = pc.fill_null(mask, False)
+            return batch.filter(pc.invert(mask) if anti else mask)
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2)

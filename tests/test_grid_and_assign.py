@@ -155,6 +155,27 @@ class TestAssign:
         counts = assigned.cell_id.value_counts()
         assert counts.iloc[:2].sum() / len(assigned) > 0.15
 
+    def test_far_outside_point_gets_global_nearest(self):
+        # Sparse tileset whose clipped-border bucket holds a NON-nearest
+        # tile: a point far outside the grid must still get the globally
+        # nearest center (the ring scan's termination bound is unreachable
+        # there; regression for the brute-force outside path).
+        minx = np.array([5.0, 4.9])
+        maxx = np.array([6.0, 5.9])
+        miny = np.array([0.0, 1.2])
+        maxy = np.array([1.0, 2.2])
+        ids = np.array(["A", "B"], dtype=object)
+        clon = (minx + maxx) / 2
+        clat = (miny + maxy) / 2
+        ix = assignmod.TileIndex(minx, miny, maxx, maxy, ids, clon, clat)
+        # brute-force nearest for each query point
+        for qx, qy in [(1000.0, 1.6), (-1000.0, 0.2), (5.5, 1e6), (1e6, -1e6)]:
+            d2 = (clon - qx) ** 2 + (clat - qy) ** 2
+            expect = ids[int(np.argmin(d2))]
+            got_idx, got_contained = ix.assign(np.array([qx]), np.array([qy]))
+            assert not got_contained[0]
+            assert ids[got_idx[0]] == expect, (qx, qy)
+
 
 class TestPagesFixture:
     def test_text_byte_identical_per_url(self):
