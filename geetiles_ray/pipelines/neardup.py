@@ -124,18 +124,12 @@ class MinHashStage:
         })
 
 
-def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
-    """band rows → unordered candidate id pairs (deduped).
-
-    The band table is tiny (bands × 16 B per doc), and almost every
-    (band, band_hash) bucket is a singleton — a Ray ``map_groups`` pays
-    per-group Python overhead on ~|docs|×bands groups (measured 10 s for
-    5k docs), so the fold is driver-side vectorized instead: sort by
-    bucket, run-length detect buckets with ≥2 members, expand pairs with
-    numpy. Scale path (10^9+ docs): hash-repartition on band_hash and run
-    this same vectorized kernel per partition (`map_batches`, batch=block).
-    """
-    df = band_rows.to_pandas()
+def _pairs_from_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized run-length candidate-pair expansion over band rows:
+    sort by (band, band_hash, doc_id), detect buckets with ≥2 members,
+    expand each bucket's unique ids into unordered pairs with
+    np.triu_indices. Shared by the driver fold (small corpora) and the
+    per-partition distributed kernel."""
     if len(df) == 0:
         return pd.DataFrame({"id_a": [], "id_b": []})
     df = df.sort_values(["band", "band_hash", "doc_id"], kind="stable")
@@ -162,6 +156,68 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
     return got.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> pd.DataFrame:
+    """band rows → unordered candidate id pairs (deduped), driver-side.
+
+    The band table is tiny (bands × 16 B per doc), and almost every
+    (band, band_hash) bucket is a singleton — a Ray ``map_groups`` pays
+    per-group Python overhead on ~|docs|×bands groups (measured 10 s for
+    5k docs), so the fold is driver-side vectorized. Right for corpora
+    whose band table fits the driver; the scale path is
+    ``lsh_candidate_pairs_ds`` (hash-partition + same kernel per block).
+    """
+    return _pairs_from_frame(band_rows.to_pandas())
+
+
+def lsh_candidate_pairs_ds(band_rows: ray.data.Dataset,
+                           nbuckets: int = 64) -> ray.data.Dataset:
+    """Distributed candidate-pair generation: hash-partition band rows on
+    (band, band_hash) so every LSH bucket is co-located, run the vectorized
+    run-length kernel per partition, then globally dedup pairs (the same
+    pair can surface from several bands, which land in different
+    partitions). Nothing corpus-sized ever reaches the driver.
+
+    Exchange cost: bands × 16 B per doc into the hash shuffle, then a
+    pair table ≪ corpus (the LSH contract) into a second small dedup
+    exchange. Per-partition work is O(rows log rows) vectorized numpy.
+    """
+    from . import dedup as dedupmod
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    use_hash = (DataContext.get_current().shuffle_strategy
+                == ShuffleStrategy.HASH_SHUFFLE) \
+        and dedupmod._hash_partition_is_one_block()
+    if use_hash:
+        ncores = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = min(nbuckets, max(2, ncores))
+
+    sch = band_rows.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc_id"]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = batch["band_hash"].to_numpy()
+        band = batch["band"].to_numpy().astype(np.uint64)
+        mix = h * np.uint64(0x9E3779B97F4A7C15) + band
+        return batch.append_column(
+            "__bucket", pa.array((mix % np.uint64(nbuckets)).astype(np.int64)))
+
+    def kernel_df(df: pd.DataFrame) -> pa.Table:
+        got = _pairs_from_frame(df)
+        return pa.table({"id_a": pa.array(got["id_a"], type=id_type),
+                         "id_b": pa.array(got["id_b"], type=id_type)})
+
+    tagged = band_rows.map_batches(tag, batch_format="pyarrow")
+    if use_hash:
+        pairs = tagged.repartition(nbuckets, keys=["__bucket"]).map_batches(
+            lambda b: kernel_df(b.to_pandas()), batch_size=None,
+            batch_format="pyarrow")
+    else:
+        pairs = tagged.groupby("__bucket").map_groups(
+            kernel_df, batch_format="pandas")
+    # a pair found by band 0 and band 3 emerges from two partitions
+    return dedupmod.dedup_exact(pairs, key=["id_a", "id_b"], nbuckets=nbuckets)
+
+
 def exact_jaccard(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     """Verification kernel: k-shingle Jaccard per candidate pair."""
     cache: dict = {}
@@ -181,6 +237,197 @@ def exact_jaccard(texts_by_id: dict, pairs: pd.DataFrame, k: int = 5) -> pd.Data
     out = pairs.copy()
     out["jaccard"] = jac
     return out
+
+
+def _rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
+    """Column rename via an Arrow map_batches (Dataset.rename_columns
+    assumes Arrow-backed blocks and breaks on pandas-backed ones)."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# NOTE on joins here: Dataset.join (acero) emits ZERO-COLUMN blocks for
+# empty hash partitions, and Ray's map operators pass empty blocks through
+# WITHOUT calling the UDF — so the poison can't be normalized away and any
+# downstream join/filter dies with 'No match for FieldRef...'. All equi-joins
+# in this module therefore use the repo's bucketed groupby-merge join
+# (stages/joins.py:join_on_identifier), which controls its own schemas.
+
+
+def _hash_char_shingles(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per text: uint64 hashes of its CHARACTER k-gram set (the shingle
+    definition exact_jaccard uses), vectorized: codepoints (utf-32) →
+    sliding window → wraparound polynomial hash in uint64. Texts shorter
+    than k hash as one whole-text shingle (mirroring exact_jaccard's
+    ``{t}`` fallback). Collisions are ~2⁻⁶⁴ per shingle pair — Jaccard
+    from these sets equals exact char-shingle Jaccard w.h.p."""
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    pows = mult ** np.arange(k, dtype=np.uint64)
+    out = []
+    for t in texts:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64)
+        if len(cp) < k:
+            h = np.uint64(1469598103934665603)
+            for c in cp:
+                h = (h ^ c) * mult
+            out.append(np.array([h], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(cp, k)
+        out.append(np.unique((win * pows[None, :]).sum(axis=1)))
+    return out
+
+
+def verify_pairs_ds(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                    id_col: str, text_col: str, k: int = 5,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification: semi-join candidate texts
+    out of the corpus (ids-only broadcast — the candidate ID list is the
+    one thing small enough for the driver by the LSH contract), shingle
+    them once per doc, equi-join shingle sets onto the pair table twice,
+    and verify per pair with np.intersect1d. Returns (id_a, id_b, jaccard).
+    """
+    from ..stages import joins as joinsmod
+
+    cand: set = set()
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        cand.update(b["id_a"].to_pylist())
+        cand.update(b["id_b"].to_pylist())
+    if not cand:
+        return pairs.map_batches(
+            lambda b: b.append_column("jaccard", pa.nulls(len(b), pa.float64())),
+            batch_format="pyarrow")
+
+    texts = joinsmod.semi_join_ids(
+        ds.select_columns([id_col, text_col]), cand, col=id_col)
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        sh = _hash_char_shingles(batch[text_col].to_pylist(), k)
+        # binary, not list<uint64>: a single buffer survives the pandas
+        # bucket-merge join untouched and round-trips via np.frombuffer
+        return pa.table({
+            "id": batch[id_col],
+            "sh": pa.array([s.tobytes() for s in sh], type=pa.binary()),
+        })
+
+    sh_tbl = texts.map_batches(shingle, batch_format="pyarrow").materialize()
+    sh_a = _rename(sh_tbl, {"id": "id_a", "sh": "sh_a"})
+    sh_b = _rename(sh_tbl, {"id": "id_b", "sh": "sh_b"})
+    half = joinsmod.join_on_identifier(
+        pairs, sh_a, key="id_a", right_cols=["sh_a"], nbuckets=num_partitions)
+    # re-block to Arrow between the joins: join_on_identifier pads from
+    # Dataset.schema() types, which are numpy dtypes for pandas-backed
+    # blocks (map_groups output) and would break pa.nulls
+    half = half.map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    joined = joinsmod.join_on_identifier(
+        half, sh_b, key="id_b", right_cols=["sh_b"], nbuckets=num_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = np.empty(len(batch), dtype=np.float64)
+        sa_col = batch["sh_a"].to_pylist()
+        sb_col = batch["sh_b"].to_pylist()
+        for i, (sa, sb) in enumerate(zip(sa_col, sb_col)):
+            a = np.frombuffer(sa, dtype=np.uint64)
+            b = np.frombuffer(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            ja[i] = inter / (len(a) + len(b) - inter)
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(ja)})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components_minlabel(edges: ray.data.Dataset,
+                                  max_iter: int = 50,
+                                  num_partitions: int = 8) -> ray.data.Dataset:
+    """(id_a, id_b) edge list → (id, label) with label = min node id of the
+    connected component, for every node with ≥1 edge. Iterative min-label
+    propagation: each round every node takes the min label over itself and
+    its neighbors; converges in ≤ graph-diameter rounds (near-dup clusters
+    are dense, so typically 2-4). Each round shuffles only the PAIR-sized
+    tables (≪ corpus) — the distributed alternative to a driver union-find
+    for adversarial corpora whose pair list outgrows one node."""
+    from ray.data.aggregate import Min
+
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([batch["id_a"].combine_chunks(),
+                                     batch["id_b"].combine_chunks()]),
+            "dst": pa.concat_arrays([batch["id_b"].combine_chunks(),
+                                     batch["id_a"].combine_chunks()]),
+        })
+
+    from ..stages import joins as joinsmod
+
+    es = edges.select_columns(["id_a", "id_b"]) \
+        .map_batches(sym, batch_format="pyarrow").materialize()
+
+    # round 0: label(id) = min(id, min neighbor)
+    def self_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["src"], "label": batch["src"]})
+
+    def neigh(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["src"], "label": batch["dst"]})
+
+    cand = es.map_batches(self_edge, batch_format="pyarrow") \
+        .union(es.map_batches(neigh, batch_format="pyarrow"))
+    labels = cand.groupby("id").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+    n_nodes = labels.count()
+
+    for _ in range(max_iter):
+        # attach each edge's source label (bucketed groupby-merge join),
+        # push it to the destination, re-minimize per node
+        lbl = _rename(labels, {"id": "src", "label": "src_label"})
+        prop = joinsmod.join_on_identifier(
+            es, lbl, key="src", right_cols=["src_label"],
+            nbuckets=num_partitions).select_columns(["dst", "src_label"])
+        prop = _rename(prop, {"dst": "id", "src_label": "label"})
+        new_labels = labels.union(prop).groupby("id") \
+            .aggregate(Min("label", alias_name="label")).materialize()
+        # join-free convergence check: labels only ever decrease, so any
+        # change strictly grows the distinct-(id, label) count of old ∪ new
+        distinct = labels.union(new_labels).groupby(["id", "label"]).count() \
+            .count()
+        labels = new_labels
+        if distinct == n_nodes:
+            break
+    return labels
+
+
+def dedup_minhash_dist(ds: ray.data.Dataset, id_col: str, text_col: str,
+                       threshold: float = 0.8, num_perm: int = 128,
+                       bands: int | None = None, shingle_k: int = 5,
+                       nbuckets: int = 64) -> pd.DataFrame:
+    """dedup_minhash with every corpus-sized step distributed: band rows go
+    through a hash-partitioned pair kernel (lsh_candidate_pairs_ds), texts
+    are fetched by semi-join and verified per-pair in map_batches
+    (verify_pairs_ds), and components run as iterative min-label
+    propagation over the pair table (connected_components_minlabel). The
+    driver only ever holds the candidate ID list and the final group table.
+
+    Output parity with ``dedup_minhash`` is pytest-asserted
+    (tests/test_neardup_sim_text.py)."""
+    if bands is None:
+        bands, rows = optimal_bands(threshold, num_perm, fp_weight=0.2)
+        num_perm = bands * rows
+    band_rows = ds.map_batches(
+        MinHashStage, fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=2)
+    pairs = lsh_candidate_pairs_ds(band_rows, nbuckets=nbuckets).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({id_col: [], "group_id": []})
+    verified = verify_pairs_ds(ds, pairs, id_col, text_col, k=shingle_k)
+    dup = verified.filter(expr=f"jaccard >= {threshold!r}").materialize()
+    if dup.count() == 0:
+        return pd.DataFrame({id_col: [], "group_id": []})
+    groups = connected_components_minlabel(dup).to_pandas()
+    groups = groups.rename(columns={"id": id_col, "label": "group_id"})
+    return groups.sort_values([id_col]).reset_index(drop=True)
 
 
 def dedup_minhash(ds: ray.data.Dataset, id_col: str, text_col: str,

@@ -854,7 +854,7 @@ def q_minhash_groups(sf_dir: str):
                          "text": pa.array(texts)})
 
     both = docs.union(docs.map_batches(inject, batch_format="pyarrow"))
-    return ndmod.dedup_minhash(both, "doc_id", "text", threshold=0.6)
+    return ndmod.dedup_minhash_dist(both, "doc_id", "text", threshold=0.6)
 
 
 def q_simhash_candidates(sf_dir: str):

@@ -179,11 +179,33 @@ def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
 
     l_names = [c for c in left.schema().names]
 
+    def _pd_dtype(t):
+        if isinstance(t, pa.DataType):
+            try:
+                return t.to_pandas_dtype()
+            except NotImplementedError:
+                return object
+        return t
+
+    l_dtypes = {n: _pd_dtype(t)
+                for n, t in zip(left.schema().names, left.schema().types)}
+    r_dtypes = {n: _pd_dtype(t)
+                for n, t in zip(right.schema().names, right.schema().types)}
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["__side"] == 0][l_names]
         rg = group[group["__side"] == 1][[key] + rcols]
         if len(lg) == 0:
             return pd.DataFrame(columns=l_names + rcols)
+        # the pa.nulls schema padding upcasts int columns to float64 when
+        # the unioned block lands in pandas (NaN rows on the OTHER side);
+        # restore each side's true dtypes — a float64 key silently
+        # mismatches its int64 counterpart in the merge below, and the
+        # upcast would also poison any chained second join
+        lg = lg.astype({c: l_dtypes[c] for c in l_names if c in l_dtypes},
+                       copy=False)
+        rg = rg.astype({c: r_dtypes[c] for c in [key] + rcols
+                        if c in r_dtypes}, copy=False)
         return lg.merge(rg, on=key, how="left")
 
     # union of two different schemas needs identical columns: pad each side

@@ -57,6 +57,47 @@ class TestMinHashLSH:
         out = neardup.dedup_minhash(ray.data.from_pandas(df), "doc_id", "text")
         assert len(out) == 0
 
+    def test_distributed_path_matches_driver_path(self):
+        # the fully-distributed pipeline (hash-partitioned pair kernel,
+        # semi-join + per-pair verify, min-label components) must produce
+        # the exact same groups as the driver-fold path
+        df = _dup_corpus()
+        ds = ray.data.from_pandas(df)
+        ref = neardup.dedup_minhash(ds, "doc_id", "text", threshold=0.7)
+        got = neardup.dedup_minhash_dist(ds, "doc_id", "text", threshold=0.7)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref.reset_index(drop=True),
+            check_dtype=False)
+
+    def test_distributed_path_empty(self):
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [
+            "alpha beta gamma delta " * 10, "one two three four five " * 10]})
+        out = neardup.dedup_minhash_dist(
+            ray.data.from_pandas(df), "doc_id", "text")
+        assert len(out) == 0
+
+    def test_char_shingle_jaccard_matches_exact(self):
+        df = _dup_corpus()
+        texts = df.text.tolist()
+        sh = neardup._hash_char_shingles(texts, 5)
+        for i, j in [(0, 15), (7, 20), (5, 6)]:
+            sa = {texts[i][x:x + 5] for x in range(len(texts[i]) - 4)}
+            sb = {texts[j][x:x + 5] for x in range(len(texts[j]) - 4)}
+            true_j = len(sa & sb) / len(sa | sb)
+            a, b = sh[i], sh[j]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            est = inter / (len(a) + len(b) - inter)
+            assert abs(est - true_j) < 1e-12
+
+    def test_minlabel_components_chain(self):
+        # a 4-node path graph exercises multi-round propagation
+        edges = ray.data.from_pandas(pd.DataFrame(
+            {"id_a": [10, 20, 30, 100], "id_b": [20, 30, 40, 200]}))
+        out = neardup.connected_components_minlabel(edges).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert dict(zip(out.id, out.label)) == {
+            10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
 
 class TestSimHash:
     def test_identical_texts_same_hash(self):
