@@ -876,8 +876,9 @@ def q_simhash_candidates(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language-id predictions (rows-only; regex \\w semantics
-    diverge between python re and RE2, so no SQL twin)."""
+    """Heuristic language-id predictions (token-membership stopword counts
+    + CJK ×3; text.py:LangId), oracled by the SQL twin below built from the
+    same stopword lists."""
     from . import text as textmod
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -886,14 +887,92 @@ def q_lang_id(sf_dir: str):
     return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _sql_lang_id() -> str:
+    """SQL twin of LangId, generated from the SAME stopword lists and
+    punctuation-strip set so the two can never drift apart. Tie-break
+    follows pandas idxmax column order (en > es > de > fr > zh)."""
+    from .text import STOPWORDS, TOKEN_STRIP
+
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    hit_cols = ",\n     ".join(
+        "SUM(CASE WHEN tok IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{w}'" for w in ws), lg)
+        for lg, ws in STOPWORDS.items())
+    langs = list(STOPWORDS) + ["zh"]
+    case = "CASE WHEN greatest({}) = 0 THEN 'und'\n".format(", ".join(langs))
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lg} >= {o}" for o in langs[i + 1:])
+        case += f"  WHEN {conds} THEN '{lg}'\n"
+    case += f"  ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS tok
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+     {hit_cols}
+  FROM toks GROUP BY doc_id
+), zhc AS (
+  SELECT doc_id,
+         3 * (length(text)
+              - length(regexp_replace(text, '[一-鿿]', '', 'g'))) AS zh
+  FROM documents
+), sc AS (
+  SELECT h.doc_id, {", ".join(list(STOPWORDS))}, zh
+  FROM hits h JOIN zhc USING (doc_id)
+)
+SELECT doc_id, {case} AS lang_pred
+FROM sc ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (rows-only)."""
+    """Rolling-hash document fingerprints: XOR of 8-codepoint sliding-window
+    polynomial hashes mod 2^64 (text.py:_window_fingerprints), oracled by
+    the HUGEINT SQL twin below."""
     from . import text as textmod
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     out = textmod.fingerprint(docs).to_pandas()
     return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# the window-hash fold, char by char: every codepoint i contributes
+# unicode(cp)·257^j to window s = i-j (full windows only; short docs are one
+# truncated window); SUM % 2^64 = the numpy uint64 wraparound, bit_xor = the
+# XOR fold. Powers of 257 are exact HUGEINT literals.
+SQL_FINGERPRINTS = """
+WITH cps AS (
+  SELECT doc_id, unnest(range(1, length(text)+1)) AS i, length(text) AS n,
+         text
+  FROM documents
+), contrib AS (
+  SELECT c.doc_id, c.i - w.j AS s,
+         unicode(substring(c.text, c.i, 1))::HUGEINT * w.w AS v
+  FROM cps c
+  JOIN (VALUES (0, 1::HUGEINT), (1, 257::HUGEINT), (2, 66049::HUGEINT),
+               (3, 16974593::HUGEINT), (4, 4362470401::HUGEINT),
+               (5, 1121154893057::HUGEINT), (6, 288136807515649::HUGEINT),
+               (7, 74051159531521793::HUGEINT)) AS w(j, w)
+    ON (c.n < 8 AND w.j = c.i - 1)
+    OR (c.n >= 8 AND c.i - w.j >= 1 AND c.i - w.j <= c.n - 7)
+), winh AS (
+  SELECT doc_id, s,
+         CAST(SUM(v) % 18446744073709551616::HUGEINT AS UBIGINT) AS h
+  FROM contrib GROUP BY doc_id, s
+), fp AS (
+  SELECT doc_id, bit_xor(h) AS fingerprint FROM winh GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(f.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN fp f USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 REGISTRY = {
@@ -920,6 +999,6 @@ REGISTRY = {
     "grid_tileset": (q_grid_tileset, None),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
-    "lang_id": (q_lang_id, None),
-    "fingerprints": (q_fingerprints, None),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
 }

@@ -20,21 +20,30 @@ STOPWORDS = {
 }
 
 
+# ASCII punctuation stripped off token edges before stopword matching —
+# shared verbatim by the DuckDB oracle (queries.py:SQL_LANG_ID)
+TOKEN_STRIP = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
 class LangId:
-    """n-gram/stopword heuristic language id: per-lang whole-word stopword
-    hit counts + a CJK codepoint check for zh; argmax with 'und' fallback."""
+    """Stopword heuristic language id: lowercase, whitespace-split, strip
+    edge punctuation, count exact stopword-token hits per language + a CJK
+    codepoint count ×3 for zh; argmax with 'und' fallback (ties break in
+    en > es > de > fr > zh order). Token membership (not regex \\b) keeps
+    the semantics identical between pandas and the RE2-based SQL oracle."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col, self.out_col = text_col, out_col
-        self.pats = {lg: re.compile(r"\b(" + "|".join(ws) + r")\b")
-                     for lg, ws in STOPWORDS.items()}
+        self.sets = {lg: frozenset(ws) for lg, ws in STOPWORDS.items()}
         self.cjk = re.compile("[一-鿿]")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         low = df[self.text_col].str.lower()
-        scores = pd.DataFrame({lg: low.str.count(p) for lg, p in self.pats.items()})
-        zh = low.str.count(self.cjk) * 3  # CJK chars are strong evidence
-        scores["zh"] = zh
+        toks = low.str.split().explode().str.strip(TOKEN_STRIP)
+        scores = pd.DataFrame(
+            {lg: toks.isin(s).groupby(level=0).sum() for lg, s in self.sets.items()}
+        ).reindex(df.index, fill_value=0)
+        scores["zh"] = low.str.count(self.cjk) * 3  # CJK chars: strong evidence
         best = scores.idxmax(axis=1)
         nohit = scores.max(axis=1) == 0
         df[self.out_col] = best.where(~nohit, "und")
@@ -104,28 +113,41 @@ def token_count(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
                           batch_format="pandas", concurrency=2)
 
 
-def _rolling_fingerprint(data: bytes, window: int = 64,
-                         mod: int = (1 << 61) - 1, base: int = 257) -> int:
-    """Rabin-Karp rolling hash folded over the byte stream → stable 61-bit
-    document fingerprint (content-defined, shift-tolerant within windows)."""
-    if not data:
-        return 0
-    h = 0
-    acc = 0
-    power = pow(base, window - 1, mod)
-    for i, byte in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * power) % mod
-        h = (h * base + byte) % mod
-        acc ^= h
-    return acc
+FP_WINDOW = 8
+FP_BASE = 257
+
+
+def _window_fingerprints(texts: list[str], k: int = FP_WINDOW,
+                         base: int = FP_BASE) -> np.ndarray:
+    """Rolling-hash document fingerprint, fully vectorized: XOR over all
+    k-codepoint sliding windows of the polynomial hash Σ cp[j]·base^j
+    (wraparound mod 2⁶⁴). Shift of interior content perturbs ≤ k window
+    hashes, so the XOR fold stays content-defined; identical texts always
+    collide, one edited codepoint always diverges (w.h.p.). Texts shorter
+    than k hash as one truncated window; empty → 0. Replaces the per-byte
+    Python Rabin-Karp loop (~10⁴ interpreter steps per 10 KB doc) with the
+    sliding-window uint64 kernel also used by the MinHash shingler —
+    and is exactly expressible in HUGEINT SQL (see SQL_FINGERPRINTS)."""
+    pows = np.uint64(base) ** np.arange(k, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for idx, t in enumerate(texts):
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64)
+        n = len(cp)
+        if n == 0:
+            continue
+        if n < k:
+            out[idx] = (cp * pows[:n]).sum()
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(cp, k)
+            out[idx] = np.bitwise_xor.reduce((win * pows[None, :]).sum(axis=1))
+    return out
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
                 out_col: str = "fingerprint") -> ray.data.Dataset:
     def f(batch: pa.Table) -> pa.Table:
-        fps = [_rolling_fingerprint(t.encode("utf-8"))
-               for t in batch[text_col].to_pylist()]
+        fps = _window_fingerprints(batch[text_col].to_pylist())
         return batch.append_column(out_col, pa.array(fps, type=pa.uint64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
