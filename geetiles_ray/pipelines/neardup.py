@@ -520,42 +520,144 @@ def add_simhash(ds: ray.data.Dataset, text_col: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# byte-popcount lookup for vectorized 64-bit Hamming distance
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64_2d(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape): XOR+table-lookup
+    over the byte view — no per-element Python bin().count()."""
+    flat = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
+    return _POP8[flat].sum(axis=-1, dtype=np.int64)
+
+
+def _simhash_band_specs(nblocks: int, max_hamming: int):
+    """64 bits split into ``nblocks`` contiguous blocks; one band per
+    combination of (nblocks - max_hamming) blocks. Pigeonhole: ≤ max_hamming
+    differing bits touch ≤ max_hamming blocks, so some kept-combination is
+    bit-identical for every qualifying pair (100% recall)."""
+    from itertools import combinations
+
+    if nblocks <= max_hamming:
+        raise ValueError("nblocks must exceed max_hamming (pigeonhole)")
+    sizes = [64 // nblocks + (1 if i < 64 % nblocks else 0)
+             for i in range(nblocks)]
+    offs = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(np.uint64)
+    combos = list(combinations(range(nblocks), nblocks - max_hamming))
+    return sizes, offs, combos
+
+
 def simhash_candidates(ds: ray.data.Dataset, id_col: str,
                        simhash_col: str = "simhash",
-                       max_hamming: int = 3) -> pd.DataFrame:
-    """Banded candidate generation: 4 chunks of 16 bits — any pair within
-    Hamming ≤ 3 shares at least one chunk (pigeonhole). Verify exactly."""
+                       max_hamming: int = 3,
+                       nblocks: int | None = None) -> pd.DataFrame:
+    """Banded candidate generation with combination banding. Default
+    nblocks = max_hamming+1 (single-block 16-bit keys for hamming 3 — the
+    classic 4×16 split, ≤65,536 buckets/band: fine to ~10⁶ docs). At web
+    scale raise nblocks so band keys carry more bits and buckets shrink:
+    nblocks=8, hamming 3 → C(8,5)=56 bands of 40-bit keys, expected bucket
+    size n/2^40 — the bucket blow-up guard. The candidate OUTPUT is
+    banding-independent (recall is 100% by pigeonhole either way; the
+    final hamming filter decides membership).
+
+    Per-bucket verification is fully vectorized: XOR + byte-table popcount
+    over slabbed pair blocks (bounded memory per slab), no Python pair
+    loop."""
+    sizes, offs, combos = _simhash_band_specs(
+        nblocks or (max_hamming + 1), max_hamming)
+    masks = [np.uint64((1 << s) - 1) for s in sizes]
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch[simhash_col].to_numpy()
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col]
+        n = len(sh)
+        blocks = [(sh >> offs[b]) & masks[b] for b in range(len(sizes))]
         out_id, out_band, out_val, out_sh = [], [], [], []
-        for chunk in range(4):
-            vals = (sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-            out_id.extend(ids)
-            out_band.extend([chunk] * len(ids))
-            out_val.extend(vals.tolist())
-            out_sh.extend(sh.tolist())
+        for bi, combo in enumerate(combos):
+            key = np.zeros(n, dtype=np.uint64)
+            for b in combo:
+                key = (key << np.uint64(sizes[b])) | blocks[b]
+            out_id.append(ids)
+            out_band.append(pa.array(np.full(n, bi, dtype=np.int32)))
+            out_val.append(pa.array(key))
+            out_sh.append(pa.array(sh))
         return pa.table({
-            "doc_id": pa.array(out_id), "band": pa.array(out_band, type=pa.int32()),
-            "val": pa.array(out_val, type=pa.uint64()),
-            "sh": pa.array(out_sh, type=pa.uint64()),
+            "doc_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in out_id]),
+            "band": pa.concat_arrays(out_band),
+            "val": pa.concat_arrays(out_val),
+            "sh": pa.concat_arrays(out_sh),
         })
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        shs = g["sh"].tolist()
+    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized run-length pair expansion over co-located band rows:
+        sort by (band, val, doc_id), detect buckets with ≥2 members, expand
+        pairs per run (slabbed Hamming for huge runs), one XOR+popcount
+        pass over ALL pairs — per-BUCKET Python cost is zero for the ~all
+        singleton buckets (the map_groups-per-bucket trap: 2.8M tiny
+        groups at 50k docs × 56 bands)."""
+        empty = pd.DataFrame({
+            "id_a": np.array([], dtype=df["doc_id"].dtype),
+            "id_b": np.array([], dtype=df["doc_id"].dtype),
+            "hamming": np.array([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.drop_duplicates(["band", "val", "doc_id"]) \
+            .sort_values(["band", "val", "doc_id"], kind="stable")
+        band = df["band"].to_numpy()
+        val = df["val"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        shs = df["sh"].to_numpy().astype(np.uint64)
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (val[1:] != val[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(df))
         aa, bb, hh = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(int(shs[i]) ^ int(shs[j])).count("1")
-                if ham <= max_hamming:
-                    aa.append(ids[i]); bb.append(ids[j]); hh.append(ham)
-        return pd.DataFrame({"id_a": aa, "id_b": bb, "hamming": hh})
+
+        def emit(ia, ib):
+            ham = _popcount64_2d(shs[ia] ^ shs[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                aa.append(ia[keep]); bb.append(ib[keep]); hh.append(ham[keep])
+
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            m = e - s
+            if m <= 2048:
+                ia, ib = np.triu_indices(m, k=1)
+                emit(ia + s, ib + s)
+            else:
+                # slab a huge bucket: hamming-filter INSIDE each slab so
+                # only matches (not the m² candidate pairs) accumulate
+                step = max(1, (1 << 22) // m)
+                jj = np.arange(m)[None, :]
+                for i0 in range(0, m - 1, step):
+                    i1 = min(i0 + step, m - 1)
+                    r, c = np.nonzero(jj > np.arange(i0, i1)[:, None])
+                    emit(r + i0 + s, c + s)
+        if not aa:
+            return empty
+        out = pd.DataFrame({"id_a": ids[np.concatenate(aa)],
+                            "id_b": ids[np.concatenate(bb)],
+                            "hamming": np.concatenate(hh).astype(np.int64)})
+        swap = out["id_a"] > out["id_b"]
+        out.loc[swap, ["id_a", "id_b"]] = \
+            out.loc[swap, ["id_b", "id_a"]].to_numpy()
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    nbuckets = 64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch["val"].to_numpy()
+        b = batch["band"].to_numpy().astype(np.uint64)
+        mix = v * np.uint64(0x9E3779B97F4A7C15) + b
+        return batch.append_column(
+            "__bucket", pa.array((mix % np.uint64(nbuckets)).astype(np.int64)))
 
     got = ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "val"]).map_groups(pairs, batch_format="pandas") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(pairs_kernel, batch_format="pandas") \
         .to_pandas()
     if len(got) == 0:
         return got

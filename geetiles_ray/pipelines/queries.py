@@ -552,40 +552,15 @@ FROM part GROUP BY p_type ORDER BY p_type
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (all-pairs ≥ τ). The query
-    matrix is broadcast once (``ray.put``) and each batch does ONE float64
-    matmul against it — the brute-force baseline; the 100 TB path is the
-    IVF/LSH bucketing in pipelines/sim.py (same scoring kernel, candidate
-    set restricted to a bucket)."""
-    tau = 0.4
+    """Embedding-cosine near-duplicate pairs (all-pairs ≥ τ) via
+    sim.cosine_neardup_pairs: exact broadcast-matmul at oracle scale,
+    IVF-bucketed above the size cutoff (no full-corpus driver
+    materialization beyond it — pytest-asserted)."""
+    from . import sim as simmod
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    full = ds.to_pandas()
-    ids = full.vec_id.to_numpy()
-    mat = np.stack(full.embedding.to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
-
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch["vec_id"].to_numpy()
-            bm = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
-                .astype(np.float64)
-            bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-            cos = bm @ self.mat.T
-            row, col = np.nonzero((cos >= tau) & (bids[:, None] < self.ids[None, :]))
-            return pa.table({
-                "id_a": pa.array(bids[row], type=pa.int64()),
-                "id_b": pa.array(self.ids[col], type=pa.int64()),
-                "cos_sim": pa.array(np.round(cos[row, col], 6)),
-            })
-
-    out = ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2) \
-        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return out
+    return simmod.cosine_neardup_pairs(ds, tau=0.4)
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -827,15 +802,24 @@ SQL_CELL_JOIN_ASSIGN = _sql_cell_join()
 # ------------------------------- rows-only queries (non-SQL-expressible) --
 
 def q_grid_tileset(sf_dir: str):
-    """UTM-grid tileset over the fixture AOI (core engine O1/O5/O6): not
-    SQL-expressible (transverse Mercator); correctness is pytest's
-    brute-force/golden oracles. Driver records rows-only."""
+    """UTM-grid tileset over the fixture AOI (core engine O1/O5/O6). The
+    transverse-Mercator math itself is not SQL-expressible; the underlying
+    math is brute-force-verified by pytest (tests/test_grid_and_assign.py),
+    and the full output is pinned bit-for-bit against a committed golden
+    parquet that the SQL oracle scans (regression oracle)."""
     from . import flagship
 
     tiles = flagship.build_fixture_tileset(5000.0)
     df = tiles.to_pandas().sort_values("grid_idx").reset_index(drop=True)
     df["area_km2"] = df.area_km2.round(6)
     return df[["grid_idx", "identifier", "area_km2", "cell_id"]]
+
+
+SQL_GRID_TILESET = """
+SELECT grid_idx, identifier, area_km2, CAST(cell_id AS UBIGINT) AS cell_id
+FROM parquet_scan('/root/repo/tests/golden/grid_tileset.parquet')
+ORDER BY grid_idx
+"""
 
 
 def q_minhash_groups(sf_dir: str):
@@ -996,7 +980,7 @@ REGISTRY = {
     "foreign_weighted": (q_foreign_weighted, SQL_FOREIGN_WEIGHTED),
     "rare_parts": (q_rare_parts, SQL_RARE_PARTS),
     "cell_join_assign": (q_cell_join_assign, SQL_CELL_JOIN_ASSIGN),
-    "grid_tileset": (q_grid_tileset, None),
+    "grid_tileset": (q_grid_tileset, SQL_GRID_TILESET),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -93,6 +93,93 @@ def train_centroids(ds: ray.data.Dataset, n_centroids: int,
     return cent
 
 
+def cosine_neardup_pairs(ds: ray.data.Dataset, tau: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         broadcast_limit: int = 65536,
+                         n_centroids: int = 64,
+                         assign_probes: int = 2) -> pd.DataFrame:
+    """All pairs with cosine ≥ tau (id_a < id_b, cos rounded to 6 dp).
+
+    Two regimes, switched on corpus size:
+    - n ≤ broadcast_limit: EXACT — the normalized matrix is broadcast once
+      (``ray.put``) and every batch does one matmul against it. O(n²d)
+      compute but only one corpus copy in the object store; right while the
+      matrix fits a worker heap.
+    - n > broadcast_limit: IVF-bucketed — vectors are assigned to their
+      ``assign_probes`` nearest coarse centroids (multi-assign catches
+      boundary pairs), co-located per bucket via groupby, and each bucket
+      runs the same vectorized pair kernel on its members only. Precision
+      stays exact (every emitted cos is computed); recall < 1.0 by design
+      for pairs whose members share no probed bucket. Never materializes
+      the corpus on the driver: only centroids (sampled) and the final
+      pair list cross it.
+    """
+    n = ds.count()
+    if n <= broadcast_limit:
+        full = ds.select_columns([id_col, vec_col]).to_pandas()
+        ids = full[id_col].to_numpy()
+        mat = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+        ref = ray.put((ids, mat))
+
+        class PairFinder:
+            def __init__(self):
+                self.ids, self.mat = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                bids = np.asarray(batch[id_col].to_pylist())
+                bm = _normalize(_to_matrix(batch[vec_col]))
+                cos = bm @ self.mat.T
+                row, col = np.nonzero(
+                    (cos >= tau) & (bids[:, None] < self.ids[None, :]))
+                return pa.table({
+                    "id_a": pa.array(bids[row], type=pa.int64()),
+                    "id_b": pa.array(self.ids[col], type=pa.int64()),
+                    "cos_sim": pa.array(np.round(cos[row, col], 6)),
+                })
+
+        out = ds.map_batches(PairFinder, batch_format="pyarrow",
+                             concurrency=2).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    cent = train_centroids(ds, n_centroids, vec_col)
+    cent_ref = ray.put(cent)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _to_matrix(batch[vec_col])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d, axis=1, kind="stable")[:, :assign_probes]
+        ids = np.asarray(batch[id_col].to_pylist())
+        reps = near.shape[1]
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, reps)),
+            "__bucket": pa.array(near.ravel().astype(np.int64)),
+            vec_col: pa.array(np.repeat(m, reps, axis=0).tolist(),
+                              type=pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cos_sim": np.array([], dtype=np.float64)})
+        m = _normalize(np.asarray(g[vec_col].tolist(), dtype=np.float64))
+        cos = m @ m.T
+        row, col = np.nonzero((cos >= tau) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[row], "id_b": ids[col],
+                             "cos_sim": np.round(cos[row, col], 6)})
+
+    out = ds.select_columns([id_col, vec_col]) \
+        .map_batches(explode, batch_format="pyarrow", batch_size=4096) \
+        .groupby("__bucket").map_groups(bucket_pairs, batch_format="pandas") \
+        .to_pandas()
+    if len(out) == 0:
+        return out
+    return out.drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
              k: int, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -113,6 +113,40 @@ class TestSimHash:
         got = set(zip(pairs.id_a, pairs.id_b))
         assert (7, 20) in got  # exact copy at hamming 0
 
+    def test_banding_independent_output(self):
+        # combination banding (nblocks=8 → 56 bands of 40-bit keys) must
+        # give the same candidate set as the default 4×16 split
+        df = _dup_corpus()
+        ds = ray.data.from_pandas(df)
+        with_sh = neardup.add_simhash(ds, "text").materialize()
+        a = neardup.simhash_candidates(with_sh, "doc_id", max_hamming=6)
+        b = neardup.simhash_candidates(with_sh, "doc_id", max_hamming=6,
+                                       nblocks=8)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_large_corpus_bucket_guard(self):
+        # 50k synthetic simhashes + 100 injected near-dups: the vectorized
+        # slabbed pair kernel must find every injected pair without a
+        # per-row Python loop blowing up on dense buckets
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 2**63, size=50_000, dtype=np.uint64)
+        flip = rng.integers(0, 64, size=100, dtype=np.uint64)
+        near = base[:100] ^ (np.uint64(1) << flip)
+        sh = np.concatenate([base, near])
+        ids = np.arange(len(sh), dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "simhash": sh}))
+        pairs = neardup.simhash_candidates(ds, "doc_id", max_hamming=3,
+                                           nblocks=8)
+        got = set(zip(pairs.id_a, pairs.id_b))
+        for i in range(100):
+            assert (i, 50_000 + i) in got
+
+    def test_popcount_matches_python(self):
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 2**63, size=257, dtype=np.uint64)
+        ref = np.array([bin(int(v)).count("1") for v in x])
+        assert (neardup._popcount64_2d(x) == ref).all()
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -134,6 +168,20 @@ class TestSimilarity:
             expect = ids[mask][order].tolist()
             got = out[out.query_id == qi].sort_values("rank").neighbor_id.tolist()
             assert got == expect
+
+    def test_cosine_neardup_bucketed_matches_exact(self, emb):
+        # broadcast_limit=0 forces the IVF-bucketed pair path; precision
+        # must be exact (every emitted cos re-checkable) and recall high
+        exact = sim.cosine_neardup_pairs(emb, tau=0.4)
+        bucketed = sim.cosine_neardup_pairs(emb, tau=0.4, broadcast_limit=0,
+                                            n_centroids=8, assign_probes=3)
+        ek = set(zip(exact.id_a, exact.id_b))
+        bk = set(zip(bucketed.id_a, bucketed.id_b))
+        assert bk <= ek                      # precision 1.0
+        assert len(bk) >= 0.8 * len(ek)      # recall ≥ 0.8 on the fixture
+        merged = bucketed.merge(exact, on=["id_a", "id_b"],
+                                suffixes=("_b", "_e"))
+        assert np.allclose(merged.cos_sim_b, merged.cos_sim_e)
 
     def test_ivf_recall(self, emb):
         df = emb.to_pandas()
