@@ -256,23 +256,77 @@ def _seg_line_intersect(p, q, a, b):
     return np.array([p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])])
 
 
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (possibly concave) ring into
+    (3, 2) triangles whose interiors partition the polygon. O(n²) — fine
+    for the admin/AOI/katana shapes these pipelines carry (≤ a few hundred
+    vertices); runs inside broadcast index builds, never per row."""
+    r = np.asarray(ring, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    if _signed_area(r) < 0:
+        r = r[::-1]
+    idx = list(range(len(r)))
+    tris: list[np.ndarray] = []
+    while len(idx) > 3:
+        n = len(idx)
+        best_k = -1
+        for k in range(n):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % n]
+            a, b, c = r[i0], r[i1], r[i2]
+            if _cross(a, b, c) <= 1e-300:
+                continue  # reflex or collinear vertex: not an ear
+            others = np.array([r[j] for j in idx
+                               if j not in (i0, i1, i2)])
+            if len(others) and _points_in_triangle(others, a, b, c).any():
+                continue
+            best_k = k
+            break
+        if best_k < 0:
+            # numerically degenerate ring: drop the flattest vertex and
+            # keep going (its triangle contributes ~zero area)
+            flat = min(range(n), key=lambda k: abs(
+                _cross(r[idx[k - 1]], r[idx[k]], r[idx[(k + 1) % n]])))
+            del idx[flat]
+            continue
+        k = best_k
+        tris.append(np.array([r[idx[k - 1]], r[idx[k]],
+                              r[idx[(k + 1) % n]]]))
+        del idx[k]
+    if len(idx) == 3:
+        tris.append(r[idx])
+    return tris
+
+
+def _points_in_triangle(pts: np.ndarray, a, b, c) -> np.ndarray:
+    """Strict interior test of points vs CCW triangle abc (vectorized)."""
+    d1 = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+    d2 = (c[0] - b[0]) * (pts[:, 1] - b[1]) - (c[1] - b[1]) * (pts[:, 0] - b[0])
+    d3 = (a[0] - c[0]) * (pts[:, 1] - c[1]) - (a[1] - c[1]) * (pts[:, 0] - c[0])
+    return (d1 > 0) & (d2 > 0) & (d3 > 0)
+
+
 def intersection_area(ring_a: np.ndarray, ring_b: np.ndarray) -> float:
-    """Exact area of a ∩ b when at least one ring is convex (our tiles are
-    always rectangles). Falls back to box-clip of b against a's bbox when
-    a is a box."""
+    """Exact area of a ∩ b for arbitrary simple rings (reference
+    partitions.py:474-507 handles any shapely polygons there). Fast paths:
+    box clip, convex clip; general concave∩concave decomposes the
+    fewer-vertex ring into ear-clipped triangles (disjoint interiors) and
+    sums convex triangle clips of the other ring."""
     a = np.asarray(ring_a, dtype=np.float64)
+    b = np.asarray(ring_b, dtype=np.float64)
     if _is_axis_aligned_box(a):
         minx, miny, maxx, maxy = bounds(a)
         return box_clip_area(ring_b, minx, miny, maxx, maxy)
+    if _is_axis_aligned_box(b):
+        minx, miny, maxx, maxy = bounds(b)
+        return box_clip_area(ring_a, minx, miny, maxx, maxy)
     if _is_convex(a):
         return _convex_clip_area(ring_b, a)
-    b = np.asarray(ring_b, dtype=np.float64)
     if _is_convex(b):
         return _convex_clip_area(a, b)
-    raise NotImplementedError(
-        "general concave∩concave area not needed by the reference pipelines "
-        "(fine side is always a rectangle, partitions.py:470-507)"
-    )
+    tri_src, other = (a, b) if len(a) <= len(b) else (b, a)
+    return float(sum(_convex_clip_area(other, t)
+                     for t in triangulate_ring(tri_src)))
 
 
 def _is_axis_aligned_box(ring: np.ndarray) -> bool:

@@ -203,8 +203,9 @@ def select_intersecting(ds: ray.data.Dataset, aoi_ring: np.ndarray,
             if geom._is_axis_aligned_box(ring):
                 area = geom.box_clip_area(a, bx0[i], by0[i], bx1[i], by1[i])
             else:
-                area = geom.intersection_area(ring, a) if geom._is_convex(ring) else \
-                    geom.box_clip_area(a, bx0[i], by0[i], bx1[i], by1[i])
+                # exact for any simple ring pair — concave katana tiles
+                # against concave AOIs go through the triangulated path
+                area = geom.intersection_area(ring, a)
             mask[i] = area > min_area
         return batch.filter(pa.array(mask))
 

@@ -231,11 +231,31 @@ def import_geojson(path: str) -> ray.data.Dataset:
     for feat in fc["features"]:
         coords = feat["geometry"]["coordinates"]
         if feat["geometry"]["type"] == "MultiPolygon":
-            coords = coords[0]
-        rings.append(np.asarray(coords[0], dtype=np.float64))
+            # flatten multipart into one row per part (reference
+            # utils.py:20-42 flatten_geom explodes, never drops parts)
+            rings.extend(np.asarray(part[0], dtype=np.float64)
+                         for part in coords)
+        else:
+            rings.append(np.asarray(coords[0], dtype=np.float64))
     all_pts = np.vstack(rings)
     clon, clat = all_pts[:, 0].mean(), all_pts[:, 1].mean()
     zone, north = crsmod.utm_zone(clon, clat)
     res = cellsmod.pick_resolution(max(r[:, 0].max() - r[:, 0].min() for r in rings))
     tbl = tile_batch_from_rings(rings, np.arange(len(rings)), zone, north, res)
     return ray.data.from_arrow(tbl)
+
+
+def tileset_region(ds: ray.data.Dataset, alpha: float = 1.0) -> "list":
+    """Concave boundary of a tileset (reference PartitionSet.get_region,
+    partitions.py:63 → utils.get_boundary): stream the tile rings to the
+    driver in batches (geometry only — 5 points × 16 B per tile) and run
+    the chunked alpha-shape hulls-of-hulls. Returns closed rings,
+    largest first."""
+    from ..functions import geom as geommod
+    from ..functions import hull as hullmod
+
+    rings = []
+    for b in ds.select_columns(["wkb"]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        rings.extend(geommod.wkb_to_ring(w) for w in b["wkb"].to_pylist())
+    return hullmod.get_boundary(rings, alpha=alpha)

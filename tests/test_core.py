@@ -95,6 +95,102 @@ class TestGeom:
         tri = np.array([[0, 0], [4, 0], [0, 4], [0, 0]], float)
         assert geom._convex_clip_area(tri, geom.box_ring(1, 1, 3, 3)) == pytest.approx(2.0)
 
+    def test_triangulate_partition(self):
+        # triangles of a concave ring must partition it: areas sum exactly
+        U = np.array([[0, 0], [5, 0], [5, 4], [4, 4], [4, 1], [1, 1],
+                      [1, 4], [0, 4], [0, 0]], float)
+        tris = geom.triangulate_ring(U)
+        assert sum(geom.shoelace_area(np.vstack([t, t[:1]])) for t in tris) \
+            == pytest.approx(geom.shoelace_area(U))
+
+    @staticmethod
+    def _raster_overlap(a, b, n=800):
+        minx = min(a[:, 0].min(), b[:, 0].min())
+        maxx = max(a[:, 0].max(), b[:, 0].max())
+        miny = min(a[:, 1].min(), b[:, 1].min())
+        maxy = max(a[:, 1].max(), b[:, 1].max())
+        xs = np.linspace(minx, maxx, n)
+        ys = np.linspace(miny, maxy, n)
+        gx, gy = np.meshgrid(xs, ys)
+        px, py = gx.ravel(), gy.ravel()
+        ina = geom.points_in_ring(px, py, a)
+        inb = geom.points_in_ring(px, py, b)
+        cell = ((maxx - minx) / (n - 1)) * ((maxy - miny) / (n - 1))
+        return (ina & inb).sum() * cell
+
+    def test_concave_concave_intersection_vs_raster(self):
+        # L-shape vs U-shape (both concave) — exact area must agree with a
+        # brute-force rasterized estimate within grid resolution
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3],
+                      [0, 0]], float)
+        U = np.array([[-0.5, -0.5], [3.5, -0.5], [3.5, 2.5], [2.5, 2.5],
+                      [2.5, 0.5], [0.5, 0.5], [0.5, 2.5], [-0.5, 2.5],
+                      [-0.5, -0.5]], float)
+        exact = geom.intersection_area(L, U)
+        approx = self._raster_overlap(L, U)
+        assert exact == pytest.approx(approx, rel=0.02)
+        # symmetry
+        assert geom.intersection_area(U, L) == pytest.approx(exact)
+
+    def test_alpha_shape_excludes_notch(self):
+        from geetiles_ray.functions import hull
+        xs, ys = np.meshgrid(np.linspace(0, 4, 17), np.linspace(0, 4, 17))
+        pts = np.column_stack([xs.ravel(), ys.ravel()])
+        pts = pts[~((pts[:, 0] > 2) & (pts[:, 1] > 2))]  # L-shape cloud
+        rings = hull.alpha_shape(pts, alpha=1.0)
+        assert len(rings) >= 1
+        r = rings[0]
+        area = geom.shoelace_area(r)
+        assert 11.0 < area < 13.5          # L ≈ 12; convex hull would be 14
+        assert not geom.points_in_ring(
+            np.array([3.2]), np.array([3.2]), r)[0]   # notch excluded
+        x, y = pts[:, 0], pts[:, 1]
+        arm = ((x > 0.3) & (x < 3.7) & (y > 0.3) & (y < 1.7)) \
+            | ((x > 0.3) & (x < 1.7) & (y > 0.3) & (y < 3.7))
+        inner = pts[arm]  # strictly interior to the L's arms
+        assert geom.points_in_ring(inner[:, 0], inner[:, 1], r).all()
+
+    def test_alpha_shape_convex_fallback(self):
+        from geetiles_ray.functions import hull
+        # 3 far-apart points: every triangle fails alpha=1 → convex fallback
+        pts = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+        rings = hull.alpha_shape(pts, alpha=1.0)
+        assert len(rings) == 1
+        assert geom.shoelace_area(rings[0]) == pytest.approx(50.0)
+
+    def test_tileset_region(self):
+        from geetiles_ray.sources import tileset as tsmod
+        from geetiles_ray.functions import hull  # noqa: F401
+        import ray.data
+        from geetiles_ray.pipelines import flagship
+        tiles = flagship.build_fixture_tileset(5000.0)
+        rings = tsmod.tileset_region(tiles, alpha=1.0)
+        assert len(rings) >= 1
+        boundary = rings[0]
+        df = tiles.to_pandas()
+        # every tile center must be inside (or on) the tileset boundary
+        inside = geom.points_in_ring(df.clon.to_numpy(), df.clat.to_numpy(),
+                                     boundary)
+        assert inside.mean() > 0.98
+        # hull area is at least the summed covered area (in degrees²,
+        # compare against bbox-sum proxy) and not absurdly larger
+        hull_area = geom.shoelace_area(boundary)
+        covered = ((df.maxx - df.minx) * (df.maxy - df.miny)).sum()
+        assert hull_area >= 0.9 * covered
+        assert hull_area <= 2.0 * covered
+
+    def test_concave_concave_disjoint_and_contained(self):
+        L = np.array([[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3],
+                      [0, 0]], float)
+        far = L + np.array([100.0, 100.0])
+        assert geom.intersection_area(L, far) == pytest.approx(0.0)
+        # small concave ring fully inside the L's bottom arm
+        small = np.array([[0.2, 0.2], [2.8, 0.2], [2.8, 0.8], [1.5, 0.8],
+                          [1.5, 0.6], [0.4, 0.6], [0.4, 0.8], [0.2, 0.8],
+                          [0.2, 0.2]], float)
+        assert geom.intersection_area(L, small) == pytest.approx(
+            geom.shoelace_area(small))
+
     def test_centroids(self):
         r = geom.box_ring(0, 0, 2, 4)
         assert geom.ring_centroid(r) == (1.0, 2.0)

@@ -72,6 +72,29 @@ class TestGrid:
         b = sorted(back.to_pandas().identifier)
         assert a == b  # identifiers re-derived from geometry → bit-stable round trip
 
+    def test_geojson_multipolygon_flattened(self, tmp_path):
+        # MultiPolygon features explode into one row per part (reference
+        # utils.flatten_geom), never dropping secondary parts
+        import json
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "MultiPolygon", "coordinates": [
+                 [[[6.0, 49.5], [6.1, 49.5], [6.1, 49.6], [6.0, 49.6],
+                   [6.0, 49.5]]],
+                 [[[6.2, 49.5], [6.3, 49.5], [6.3, 49.6], [6.2, 49.6],
+                   [6.2, 49.5]]],
+             ]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[6.4, 49.5], [6.5, 49.5], [6.5, 49.6], [6.4, 49.6],
+                  [6.4, 49.5]]]}},
+        ]}
+        p = tmp_path / "multi.geojson"
+        p.write_text(json.dumps(fc))
+        back = tsmod.import_geojson(str(p)).to_pandas()
+        assert len(back) == 3  # 2 parts + 1 simple polygon
+        assert back.minx.round(1).tolist() == [6.0, 6.2, 6.4]
+
     def test_utm_clipped_grid(self, aoi_ring):
         ds = grid.build_grid_utm_clipped(aoi_ring, 20000.0).materialize()
         df = ds.to_pandas()
