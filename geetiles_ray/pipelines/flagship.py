@@ -46,6 +46,7 @@ def run(
     batch_size: int = 8192,
     dedup_buckets: int = 64,
     use_actors: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """pages(url, warc_ts, html, text, lang) → (assignments, tile_lang_counts).
 
@@ -74,11 +75,21 @@ def run(
                                           batch_size=batch_size,
                                           use_actors=use_actors)
     slim = assigned_all.drop_columns(["html", "text"])
-    # materialize the transformed-but-not-yet-deduped table once (at cluster
-    # scale this is the checkpointed partitioned parquet write, state/
-    # manifest.py), then two-pass dedup: only rows of globally-duplicated
-    # urls go through the exchange — a few % of the data
-    slim_mat = slim.materialize()
+    # the transformed-but-not-yet-deduped table is consumed three times by
+    # the two-pass dedup, so it must be pinned once. Two modes:
+    # - checkpoint_dir set: the durable cluster path — partitioned parquet
+    #   with per-partition manifests (state/manifest.py); a killed run
+    #   resumes here, skipping completed partitions, and the dedup re-scans
+    #   from disk instead of the object store
+    # - default: in-memory materialize (fastest single-run path; bench mode)
+    if checkpoint_dir is not None:
+        from ..state import manifest as manifestmod
+
+        run.last_checkpoint_report = manifestmod.checkpointed_write(
+            slim, checkpoint_dir, key_col="url", n_partitions=dedup_buckets)
+        slim_mat = manifestmod.read_checkpointed(checkpoint_dir)
+    else:
+        slim_mat = slim.materialize()
     deduped = dedupmod.dedup_exact_twopass(slim_mat, key="url",
                                            order_col="warc_ts",
                                            nbuckets=dedup_buckets)
