@@ -112,7 +112,12 @@ def cmd_download(a):
                                     plugin.get_dataset_name(),
                                     skip_if_exists=a.skip_if_exists)
     tsmod.write_provenance(os.path.join(dest, plugin.get_dataset_name()), plugin)
-    print(f"wrote {n} tiles under {dest}/{plugin.get_dataset_name()}")
+    from .state import metrics as metricsmod
+    snap = metricsmod.snapshot()
+    pfx = f"render.{plugin.get_dataset_name()}"
+    print(f"wrote {n} tiles under {dest}/{plugin.get_dataset_name()} "
+          f"(metrics: rows={int(snap.get(pfx + '.rows', 0))} "
+          f"nodata={int(snap.get(pfx + '.nodata', 0))})")
 
 
 def cmd_lp_compute(a):

@@ -36,6 +36,21 @@ import numpy as np
 from .functions import valuemaps
 
 
+class SizeCapExceeded(Exception):
+    """A render source refusing an oversize request — the analogue of GEE's
+    'Total request size (N bytes) must be less than or equal to M bytes'
+    error (gee.py:14-22 exceeded_size_regexp). Carries the sizes the
+    reference parses out of the message so the band-split retry
+    (stages/raster.py:render_byparts) can do the same arithmetic."""
+
+    def __init__(self, total_size: int, max_size: int):
+        super().__init__(
+            f"Total request size ({total_size} bytes) must be less than or "
+            f"equal to {max_size} bytes.")
+        self.total_size = int(total_size)
+        self.max_size = int(max_size)
+
+
 class DatasetDefinition:
     """Base with default hook implementations."""
 
@@ -52,6 +67,15 @@ class DatasetDefinition:
         pass
 
     def render(self, identifier: str, ring: np.ndarray, shape) -> np.ndarray | None:
+        raise NotImplementedError
+
+    def render_bands(self, identifier: str, ring: np.ndarray, shape,
+                     bands: list[str]) -> np.ndarray:
+        """Fetch only the named band subset — the reduced request the
+        band-split retry issues when ``render`` raises SizeCapExceeded
+        (gee.py:24-81 downloads each band set separately). Sources without
+        a per-band request path leave this unimplemented and oversize
+        errors propagate."""
         raise NotImplementedError
 
     def map_values(self, array: np.ndarray) -> np.ndarray:

@@ -36,18 +36,49 @@ import ray
 import ray.data
 
 from ..functions import geom, tiff, valuemaps
-from ..plugins import DatasetDefinition, load_plugin
+from ..plugins import DatasetDefinition, SizeCapExceeded, load_plugin
 
 RASTER_SCHEMA_COLS = ["identifier", "band_names", "shape", "pixels", "dtype", "nodata"]
+
+
+def render_byparts(plugin: DatasetDefinition, identifier: str,
+                   ring: np.ndarray, shape,
+                   total_size: int, max_size: int) -> np.ndarray:
+    """S7 (gee.py:24-81 ``_get_tile_byparts``): an oversize request is split
+    into band SETS that each fit the size cap, fetched separately, and
+    restitched in band order. Reference arithmetic reproduced exactly:
+    per-band size is padded 1.5x for protocol overhead; a single band
+    that still exceeds the cap is a hard error with the same message."""
+    bands = plugin.get_band_names()
+    nbands = len(bands)
+    size_per_band = 1.5 * total_size / nbands
+    if size_per_band > max_size:
+        raise ValueError(
+            f"image has {nbands} bands and a total size of {total_size}. "
+            f"cannot fit to a max size of {max_size}")
+    bands_per_split = int(np.floor(max_size / size_per_band))
+    split_idxs = list(range(0, nbands, bands_per_split))
+    if split_idxs[-1] != nbands + 1:
+        split_idxs.append(nbands + 1)
+    band_sets = [bands[split_idxs[i]:split_idxs[i + 1]]
+                 for i in range(len(split_idxs) - 1)]
+    parts = [plugin.render_bands(identifier, ring, shape, bs)
+             for bs in band_sets if bs]
+    return np.concatenate(parts, axis=2)
 
 
 class RenderTiles:
     """tileset rows → raster rows. ``plugin`` may be a name or instance."""
 
     def __init__(self, plugin: str | DatasetDefinition, pixels_hw=(100, 100)):
+        from ..state import metrics as metricsmod
+
         self.plugin = load_plugin(plugin) if isinstance(plugin, str) else plugin
         self.plugin.build()  # once per actor (ST1/ST2)
         self.h, self.w = pixels_hw
+        # ST5: live progress counters (buffered, fire-and-forget)
+        self.metrics = metricsmod.StageMetrics(
+            f"render.{self.plugin.get_dataset_name()}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["identifier"].to_pylist()
@@ -58,7 +89,13 @@ class RenderTiles:
         for ident, w in zip(ids, wkbs):
             ring = geom.wkb_to_ring(w)
             try:
-                arr = self.plugin.render(ident, ring, (self.h, self.w))
+                try:
+                    arr = self.plugin.render(ident, ring, (self.h, self.w))
+                except SizeCapExceeded as cap:
+                    # S7: oversize request → band-split fetch + restitch
+                    arr = render_byparts(self.plugin, ident, ring,
+                                         (self.h, self.w),
+                                         cap.total_size, cap.max_size)
                 if arr is None:
                     raise ValueError("plugin returned None (skip)")
                 arr = self.plugin.post_process_tile(arr, {"identifier": ident})
@@ -69,6 +106,7 @@ class RenderTiles:
                 out["pixels"].append(arr.tobytes())
                 out["dtype"].append(dt)
                 out["nodata"].append(False)
+                self.metrics.inc("rows")
             except Exception as e:
                 if self.plugin.on_error(ident, e) != "nodata":
                     raise
@@ -78,6 +116,8 @@ class RenderTiles:
                 out["pixels"].append(b"")
                 out["dtype"].append(dt)
                 out["nodata"].append(True)
+                self.metrics.inc("nodata")
+        self.metrics.flush()
         return pa.table({
             "identifier": pa.array(out["identifier"], type=pa.string()),
             "band_names": pa.array(out["band_names"], type=pa.list_(pa.string())),

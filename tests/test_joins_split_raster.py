@@ -242,6 +242,60 @@ class TestRaster:
         assert chip["chip"].shape == (50, 50, 1)
         assert abs(sum(chip["label_proportions"].values()) - 1.0) < 1e-9
 
+    def test_band_split_fetch_restitches(self):
+        # S7 (gee.py:24-81): a 6-band source whose full request exceeds the
+        # size cap must be fetched in band sets and restitched in band
+        # order, bit-identical to the uncapped render
+        from geetiles_ray.plugins import DatasetDefinition, SizeCapExceeded
+
+        class SixBand(DatasetDefinition):
+            BANDS = [f"B{i}" for i in range(6)]
+            max_size = None   # None = uncapped
+
+            def get_dataset_name(self):
+                return "sixband"
+
+            def get_band_names(self):
+                return list(self.BANDS)
+
+            def _full(self, identifier, shape):
+                h, w = shape[:2]
+                seed = int(identifier[:6], 16)
+                rng = np.random.default_rng(seed)
+                return rng.integers(0, 255, size=(h, w, 6)).astype(np.uint8)
+
+            def render(self, identifier, ring, shape):
+                arr = self._full(identifier, shape)
+                if self.max_size is not None and arr.nbytes > self.max_size:
+                    raise SizeCapExceeded(arr.nbytes, self.max_size)
+                return arr
+
+            def render_bands(self, identifier, ring, shape, bands):
+                arr = self._full(identifier, shape)
+                idx = [self.BANDS.index(b) for b in bands]
+                return arr[:, :, idx]
+
+        one = ray.data.from_arrow(_tileset_of_boxes([(0, 0, 1, 1)]))
+        free = raster.render_tiles(one, SixBand(), pixels_hw=(20, 20),
+                                   concurrency=1).to_pandas()
+        capped = SixBand()
+        # full tile = 20*20*6 = 2400 B; cap forces ≥ 3 band sets
+        # (1.5x overhead factor → 600 B per padded band → 2 bands/set)
+        capped.max_size = 1400
+        parts = raster.render_tiles(one, capped, pixels_hw=(20, 20),
+                                    concurrency=1).to_pandas()
+        assert parts.pixels.iloc[0] == free.pixels.iloc[0]
+        assert parts.shape_.iloc[0] if hasattr(parts, "shape_") else True
+        assert list(parts.band_names.iloc[0]) == SixBand.BANDS
+        assert not parts.nodata.iloc[0]
+
+    def test_band_split_single_band_too_big_raises(self):
+        from geetiles_ray.plugins import WorldCoverLike
+        with pytest.raises(ValueError, match="cannot fit"):
+            raster.render_byparts(WorldCoverLike(), "abc",
+                                  np.zeros((5, 2)), (10, 10),
+                                  total_size=1000, max_size=100)
+
     def test_nodata_dead_letter(self):
         class Failing(WorldCoverLike):
             def render(self, identifier, ring, shape):

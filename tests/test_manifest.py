@@ -137,3 +137,28 @@ class TestFlagshipCheckpointResume:
         assert rep2["written"] == [2, 5]
         assert len(rep2["skipped"]) == 6
         assert result_hash(assigned2) == h1
+
+
+class TestMetrics:
+    def test_stage_counters_flow_to_actor(self):
+        import ray
+        from geetiles_ray.pipelines import grid
+        from geetiles_ray.stages import raster
+        from geetiles_ray.state import metrics as mf2
+
+        mf2.reset()
+        from geetiles_ray.functions import geom as geommod
+        aoi = geommod.box_ring(6.0, 49.5, 6.3, 49.8)
+        tiles = grid.build_grid(aoi, 8000.0).materialize()
+        n = tiles.count()
+        raster.render_tiles(tiles, "worldcoverlike", pixels_hw=(20, 20),
+                            concurrency=1).materialize()
+        # fire-and-forget flushes: give the actor a beat to drain
+        import time
+        for _ in range(50):
+            snap = mf2.snapshot()
+            if snap.get("render.worldcoverlike.rows", 0) >= n:
+                break
+            time.sleep(0.1)
+        assert snap["render.worldcoverlike.rows"] == n
+        assert snap.get("render.worldcoverlike.nodata", 0) == 0
