@@ -312,7 +312,12 @@ def verify_pairs_ds(ds: ray.data.Dataset, pairs: ray.data.Dataset,
             "sh": pa.array([s.tobytes() for s in sh], type=pa.binary()),
         })
 
-    sh_tbl = texts.map_batches(shingle, batch_format="pyarrow").materialize()
+    # coalesce the candidate-sized tables before the joins: fragmented tiny
+    # blocks make the bucket-groupby pay per-block constants (see the
+    # connected_components_minlabel note)
+    sh_tbl = texts.map_batches(shingle, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    pairs = pairs.repartition(num_partitions)
     sh_a = _rename(sh_tbl, {"id": "id_a", "sh": "sh_a"})
     sh_b = _rename(sh_tbl, {"id": "id_b", "sh": "sh_b"})
     half = joinsmod.join_on_identifier(
@@ -361,8 +366,16 @@ def connected_components_minlabel(edges: ray.data.Dataset,
 
     from ..stages import joins as joinsmod
 
+    # COALESCE BLOCKS AGGRESSIVELY: the edge/label tables are pair-sized
+    # (≪ corpus) but typically arrive fragmented into hundreds of tiny
+    # blocks (filter/map_groups lineage), and a sort-groupby pays per-BLOCK
+    # constants — measured 24 s for a 2k-row groupby over ~1k blocks and
+    # 400+ s per join iteration at 32 CPUs. Repartitioning every
+    # materialized iteration state to num_partitions blocks makes each
+    # round O(seconds).
     es = edges.select_columns(["id_a", "id_b"]) \
-        .map_batches(sym, batch_format="pyarrow").materialize()
+        .map_batches(sym, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
 
     # round 0: label(id) = min(id, min neighbor)
     def self_edge(batch: pa.Table) -> pa.Table:
@@ -374,7 +387,7 @@ def connected_components_minlabel(edges: ray.data.Dataset,
     cand = es.map_batches(self_edge, batch_format="pyarrow") \
         .union(es.map_batches(neigh, batch_format="pyarrow"))
     labels = cand.groupby("id").aggregate(Min("label", alias_name="label")) \
-        .materialize()
+        .repartition(num_partitions).materialize()
     n_nodes = labels.count()
 
     for _ in range(max_iter):
@@ -386,7 +399,8 @@ def connected_components_minlabel(edges: ray.data.Dataset,
             nbuckets=num_partitions).select_columns(["dst", "src_label"])
         prop = _rename(prop, {"dst": "id", "src_label": "label"})
         new_labels = labels.union(prop).groupby("id") \
-            .aggregate(Min("label", alias_name="label")).materialize()
+            .aggregate(Min("label", alias_name="label")) \
+            .repartition(num_partitions).materialize()
         # join-free convergence check: labels only ever decrease, so any
         # change strictly grows the distinct-(id, label) count of old ∪ new
         distinct = labels.union(new_labels).groupby(["id", "label"]).count() \
