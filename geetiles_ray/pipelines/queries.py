@@ -18,6 +18,7 @@ from ray.data.aggregate import Count, Mean, Sum
 
 from ..functions import geocode as geo
 from ..sources import pages as pagesmod
+from ..stages import joins as joinsmod
 from . import dedup as dedupmod
 
 
@@ -156,6 +157,58 @@ SELECT user_id, event_type, event_id FROM (
                             ORDER BY ts, event_id) AS rn
   FROM events
 ) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q_dedup_events_broadcast(sf_dir: str):
+    """Exchange-free exact dedup (dedup_exact_broadcast): lowest event_id
+    per (user_id, event_type) — the broadcast-min operator the flagship
+    rides on, oracle-checked on the events table."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    out = dedupmod.dedup_exact_broadcast(
+        ds.materialize(), key=["user_id", "event_type"],
+        order_col="event_id")
+    return out.to_pandas().sort_values(["user_id", "event_type"]) \
+        .reset_index(drop=True)[["user_id", "event_type", "event_id", "ts"]]
+
+
+SQL_DEDUP_EVENTS_BROADCAST = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def q_orders_customer_join(sf_dir: str):
+    """Both-sides-large bucketed hash join (J4 join_on_identifier):
+    every order joined to its customer's name — the partitioned-join path
+    (not the broadcast-dimension shortcut other queries use),
+    oracle-checked against a SQL inner join."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+
+    def key_align(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_custkey", "c_name"])
+
+    cust = cust.map_batches(key_align, batch_format="pyarrow")
+    joined = joinsmod.join_on_identifier(orders, cust, key="o_custkey",
+                                         right_cols=["c_name"])
+    out = joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return out[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
+
+
+SQL_ORDERS_CUSTOMER_JOIN = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+ORDER BY o_orderkey
 """
 
 
@@ -822,6 +875,59 @@ ORDER BY grid_idx
 """
 
 
+def q_split_assignment(sf_dir: str):
+    """Geographic band train/test/val split over the fixture tileset
+    (reference partitions.py:307-369 banding, reproduced bit-for-bit by
+    pipelines/split.py). The k-scan math is not SQL-expressible; the full
+    assignment is pinned against a committed golden parquet (regression
+    oracle; the banding itself is golden-tested in pytest)."""
+    from . import flagship
+    from . import split as splitmod
+
+    tiles = flagship.build_fixture_tileset(5000.0)
+    out = splitmod.split(tiles, nbands=8, angle=0.3,
+                         train_pct=0.5, test_pct=0.3, val_pct=0.2)
+    df = out.to_pandas().sort_values("grid_idx").reset_index(drop=True)
+    return df[["grid_idx", "identifier", "split"]]
+
+
+SQL_SPLIT_ASSIGNMENT = """
+SELECT grid_idx, identifier, split
+FROM parquet_scan('/root/repo/tests/golden/split_assignment.parquet')
+ORDER BY grid_idx
+"""
+
+
+def q_label_proportions(sf_dir: str):
+    """A1 label proportions (reference partitions.py:447-468): render the
+    deterministic worldcover-like raster per tile, value-map, mask to the
+    tile geometry, emit normalized class shares as (identifier, class,
+    share) rows. Pinned against a committed golden parquet (the
+    proportions math is separately closed-form-tested in pytest)."""
+    from ..stages import raster as rastermod
+    from . import flagship
+
+    tiles = flagship.build_fixture_tileset(5000.0)
+    rasters = rastermod.render_tiles(tiles, "worldcoverlike",
+                                     pixels_hw=(20, 20), concurrency=2)
+    props = rastermod.compute_proportions(rasters, tiles, "worldcoverlike",
+                                          concurrency=2).to_pandas()
+    rows = []
+    pcol = [c for c in props.columns if c != "identifier"][0]
+    for ident, mp in zip(props["identifier"], props[pcol]):
+        for k, v in sorted(dict(mp).items()):
+            rows.append((ident, k, round(float(v), 9)))
+    out = pd.DataFrame(rows, columns=["identifier", "class", "share"])
+    return out.sort_values(["identifier", "class"]).reset_index(drop=True)
+
+
+SQL_LABEL_PROPORTIONS = """
+SELECT identifier, class, share
+FROM parquet_scan('/root/repo/tests/golden/label_proportions.parquet')
+ORDER BY identifier, class
+"""
+
+
 def q_minhash_groups(sf_dir: str):
     """MinHash-LSH near-dup groups over documents ∪ injected near-copies
     (every 20th doc with one word changed). Deterministic; rows-only."""
@@ -972,6 +1078,10 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "text_features": (q_text_features, SQL_TEXT_FEATURES),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "dedup_events_broadcast": (q_dedup_events_broadcast,
+                               SQL_DEDUP_EVENTS_BROADCAST),
+    "orders_customer_join": (q_orders_customer_join,
+                             SQL_ORDERS_CUSTOMER_JOIN),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "supplier_region": (q_supplier_region, SQL_SUPPLIER_REGION),
     "part_type_stats": (q_part_type_stats, SQL_PART_TYPE_STATS),
@@ -981,6 +1091,8 @@ REGISTRY = {
     "rare_parts": (q_rare_parts, SQL_RARE_PARTS),
     "cell_join_assign": (q_cell_join_assign, SQL_CELL_JOIN_ASSIGN),
     "grid_tileset": (q_grid_tileset, SQL_GRID_TILESET),
+    "split_assignment": (q_split_assignment, SQL_SPLIT_ASSIGNMENT),
+    "label_proportions": (q_label_proportions, SQL_LABEL_PROPORTIONS),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),
