@@ -8,8 +8,9 @@ $GRAFT_SF_DIR, and prints ONE JSON line:
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
-on the SAME input and reports both throughputs + scaling efficiency
+--scaling: runs the headline in fresh processes at num_cpus=N and 4N
+(default 4 and 16, best-of-3 per leg — GRAFT_SCALE_LO/HI/REPS) on the
+SAME input and reports both throughputs + scaling efficiency
 (the sandbox substitute for the N vs 4N cluster criterion — BASELINE.md).
 """
 
@@ -46,7 +47,6 @@ def run_bench() -> dict:
     # timestamps — so no shuffle-strategy opt-in is needed here. The query
     # suite stays on the sort default (hash pays fresh aggregator-actor
     # startup per query).
-    ctx = ray.data.DataContext.get_current()
 
     # warm the OS page cache so we measure compute+shuffle, not first read
     for name in os.listdir(SF_DIR):

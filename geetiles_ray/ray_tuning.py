@@ -25,11 +25,12 @@ def tune(num_cpus: int | None = None) -> None:
     if num_cpus is None:
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
     ctx.min_parallelism = max(8, num_cpus)
-    # NB: the session keeps the sort-based shuffle default here; bench.py
-    # opts into ShuffleStrategy.HASH_SHUFFLE explicitly (2-4x faster for the
-    # flagship dedup exchange when partitions are clamped to cluster cores —
-    # see dedup_exact). Tests stay on sort: hash aggregator actors can
-    # starve actor-pool map stages on <8-CPU sessions when partitions
-    # outnumber free cores.
+    # NB: the session keeps the sort-based shuffle default; dedup_exact's
+    # hash path (and lsh_candidate_pairs_ds's) activates only when a caller
+    # opts a session into ShuffleStrategy.HASH_SHUFFLE. Since round 2 the
+    # flagship needs no exchange at all (dedup_exact_broadcast), so no
+    # session opts in by default. Tests stay on sort: hash aggregator
+    # actors can starve actor-pool map stages on <8-CPU sessions when
+    # partitions outnumber free cores.
     _ = ShuffleStrategy  # documented above
     logging.getLogger("ray.data").setLevel(logging.ERROR)
