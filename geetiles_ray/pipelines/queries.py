@@ -928,6 +928,64 @@ ORDER BY identifier, class
 """
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing, oracle-checked end to end: each document's text
+    bytes stand in for an image payload (opaque binary column), decoded by
+    the deterministic stub (stages/multimodal.py:_decode_image_fake) and
+    reduced to per-channel mean/std. The decode rule (top byte of
+    sha256-seed·i mod 2⁶⁴) is chosen to be HUGEINT-SQL-expressible so even
+    the stubbed multimodal path gets a value-hash oracle."""
+    from ..stages import multimodal as mmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([t.encode("utf-8")
+                                 for t in batch["text"].to_pylist()],
+                                type=pa.binary()),
+        })
+
+    blobs = docs.map_batches(to_blob, batch_format="pyarrow")
+    feats = mmod.image_features(mmod.decode_images(blobs, hw=(32, 32))) \
+        .to_pandas()
+    rows = []
+    for _, r in feats.iterrows():
+        for c in range(3):
+            # dyadic-exact mean/variance from the integer moments (1024
+            # pixels/channel): every division is by a power of two, so
+            # both sides compute bit-identical float64 — no rounding, no
+            # round-half-even vs half-away divergence
+            mean = r.chan_sum[c] / 1024.0
+            var = r.chan_sumsq[c] / 1024.0 - mean * mean
+            rows.append((r.doc_id, c, mean, var))
+    out = pd.DataFrame(rows, columns=["doc_id", "chan", "chan_mean",
+                                      "chan_var"])
+    return out.sort_values(["doc_id", "chan"]).reset_index(drop=True)
+
+
+SQL_IMAGE_FEATURES = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS seed
+  FROM documents
+), px AS (
+  SELECT doc_id, unnest(range(1, 32*32*3 + 1)) AS i, seed FROM seeds
+), vals AS (
+  SELECT doc_id, CAST((i - 1) % 3 AS INT) AS chan,
+         CAST((seed::HUGEINT * i) % 18446744073709551616::HUGEINT
+              // 72057594037927936::HUGEINT AS BIGINT) AS v
+  FROM px
+)
+SELECT doc_id, chan,
+       SUM(v) / 1024.0 AS chan_mean,
+       SUM(v * v) / 1024.0 - (SUM(v) / 1024.0) * (SUM(v) / 1024.0)
+         AS chan_var
+FROM vals GROUP BY doc_id, chan ORDER BY doc_id, chan
+"""
+
+
 def q_minhash_groups(sf_dir: str):
     """MinHash-LSH near-dup groups over documents ∪ injected near-copies
     (every 20th doc with one word changed). Deterministic; rows-only."""
@@ -1093,6 +1151,7 @@ REGISTRY = {
     "grid_tileset": (q_grid_tileset, SQL_GRID_TILESET),
     "split_assignment": (q_split_assignment, SQL_SPLIT_ASSIGNMENT),
     "label_proportions": (q_label_proportions, SQL_LABEL_PROPORTIONS),
+    "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -28,18 +28,17 @@ except ImportError:
 
 
 def _decode_image_fake(blob: bytes, hw=(32, 32)) -> np.ndarray:
-    """Deterministic stand-in decoder: pseudo-pixels from the blob's sha256
-    stream. Same shape/dtype contract as a real decode."""
+    """Deterministic stand-in decoder: pseudo-pixel i is the top byte of
+    seed·(i+1) mod 2⁶⁴, seed = first 8 bytes (big-endian) of the blob's
+    sha256. Same shape/dtype contract as a real decode, fully vectorized,
+    and exactly expressible in HUGEINT SQL — which is what lets the
+    multimodal pipeline carry a value-hash DuckDB oracle
+    (queries.py:SQL_IMAGE_FEATURES) despite the codec being stubbed."""
     h, w = hw
     need = h * w * 3
-    seed = hashlib.sha256(blob).digest()
-    reps = need // 32 + 1
-    buf = bytearray()
-    cur = seed
-    for _ in range(reps):
-        buf += cur
-        cur = hashlib.sha256(cur).digest()
-    return np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(h, w, 3)
+    seed = np.uint64(int.from_bytes(hashlib.sha256(blob).digest()[:8], "big"))
+    i = np.arange(1, need + 1, dtype=np.uint64)
+    return ((seed * i) >> np.uint64(56)).astype(np.uint8).reshape(h, w, 3)
 
 
 class DecodeImages:
@@ -81,14 +80,22 @@ class ImageFeatures:
         h = batch["height"].to_numpy()
         w = batch["width"].to_numpy()
         c = batch["channels"].to_numpy()
-        means, stds = [], []
+        means, stds, sums, sumsqs = [], [], [], []
         for i, blob in enumerate(batch[self.pixels_col].to_pylist()):
             a = np.frombuffer(blob, dtype=np.uint8).reshape(h[i], w[i], c[i])
             means.append(np.round(a.mean(axis=(0, 1)), 4).tolist())
             stds.append(np.round(a.std(axis=(0, 1)), 4).tolist())
+            # exact integer moments too: rounded float stats are lossy AND
+            # round-half-even vs SQL's round-half-away diverges on exact
+            # halves — the oracle compares these instead
+            a64 = a.astype(np.int64)
+            sums.append(a64.sum(axis=(0, 1)).tolist())
+            sumsqs.append((a64 * a64).sum(axis=(0, 1)).tolist())
         cols = {name: batch[name] for name in batch.column_names}
         cols["chan_mean"] = pa.array(means, type=pa.list_(pa.float64()))
         cols["chan_std"] = pa.array(stds, type=pa.list_(pa.float64()))
+        cols["chan_sum"] = pa.array(sums, type=pa.list_(pa.int64()))
+        cols["chan_sumsq"] = pa.array(sumsqs, type=pa.list_(pa.int64()))
         return pa.table(cols)
 
 
