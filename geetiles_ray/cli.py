@@ -110,7 +110,8 @@ def cmd_download(a):
         rasters = rasters.limit(a.max_downloads)  # T2
     n = raster.write_geotiff_layout(rasters, tiles, dest,
                                     plugin.get_dataset_name(),
-                                    skip_if_exists=a.skip_if_exists)
+                                    skip_if_exists=a.skip_if_exists,
+                                    plugin=plugin)
     tsmod.write_provenance(os.path.join(dest, plugin.get_dataset_name()), plugin)
     from .state import metrics as metricsmod
     snap = metricsmod.snapshot()

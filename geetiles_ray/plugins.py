@@ -92,6 +92,14 @@ class DatasetDefinition:
     def include_chip_in_dataset(self, chip: dict) -> bool:
         return True
 
+    def must_rewrite(self, identifier: str, path: str) -> bool:
+        """Extra resume predicate (the reference's ``must_get_gee_image``,
+        defs/s1grdobs.py:53-60): return True to re-render a tile even
+        though its output file exists (e.g. the existing file is known
+        incomplete). Consulted by write_geotiff_layout's skip_if_exists
+        path."""
+        return False
+
 
 def _tile_seed(identifier: str) -> int:
     return int(hashlib.sha256(identifier.encode()).hexdigest()[:12], 16)

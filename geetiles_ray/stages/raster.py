@@ -205,11 +205,14 @@ def compute_proportions(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
 
 def write_geotiff_layout(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
                          dest_dir: str, dataset_name: str,
-                         skip_if_exists: bool = True) -> int:
+                         skip_if_exists: bool = True,
+                         plugin: DatasetDefinition | None = None) -> int:
     """The reference's on-disk layout: {dest_dir}/{dataset_name}/{id}.tif
     (partitions.py:149-153, gee.py:252-259), with real (minimal) GeoTIFFs.
-    ``skip_if_exists`` is the resume contract (gee.py:267-274). Returns the
-    number of files written."""
+    ``skip_if_exists`` is the resume contract (gee.py:267-274); a plugin's
+    ``must_rewrite`` hook can veto a skip per tile (the reference's
+    must_get_gee_image, defs/s1grdobs.py:53-60). Returns the number of
+    files written."""
     out_dir = os.path.join(dest_dir, dataset_name)
     os.makedirs(out_dir, exist_ok=True)
     bounds_ref = ray.put(_bounds_map(tiles))
@@ -227,7 +230,9 @@ def write_geotiff_layout(rasters: ray.data.Dataset, tiles: ray.data.Dataset,
                     with open(path + ".nodata", "w"):
                         pass
                     continue
-                if skip_if_exists and os.path.exists(path):
+                if skip_if_exists and os.path.exists(path) and not (
+                        plugin is not None
+                        and plugin.must_rewrite(ident, path)):
                     continue
                 arr = _decode_row(batch["shape"][i].as_py(),
                                   batch["pixels"][i].as_py(),

@@ -218,6 +218,17 @@ class TestRaster:
         # resume: second write skips everything
         n2 = raster.write_geotiff_layout(rasters, tiles, str(tmp_path), "wc")
         assert n2 == 0
+        # must_rewrite hook (reference must_get_gee_image): a plugin can
+        # veto the skip for specific tiles
+        some_id = orig.identifier.iloc[0]
+
+        class Rewriter(WorldCoverLike):
+            def must_rewrite(self, identifier, path):
+                return identifier == some_id
+
+        n3 = raster.write_geotiff_layout(rasters, tiles, str(tmp_path), "wc",
+                                         plugin=Rewriter())
+        assert n3 == 1
 
     def test_validate(self, rasters):
         res = raster.validate_rasters(rasters).to_pandas()
