@@ -928,6 +928,31 @@ ORDER BY identifier, class
 """
 
 
+def q_tileset_boundary(sf_dir: str):
+    """Concave (alpha-shape) boundary of the fixture tileset
+    (functions/hull.py, the reference get_boundary analogue): boundary
+    ring vertices as (ring_idx, point_idx, lon, lat) rows. Delaunay/alpha
+    math is not SQL-expressible; pinned against a committed golden parquet
+    (the hull's structural properties are pytest-verified)."""
+    from ..sources import tileset as tsmod
+    from . import flagship
+
+    tiles = flagship.build_fixture_tileset(5000.0)
+    rings = tsmod.tileset_region(tiles, alpha=1.0)
+    rows = []
+    for ri, ring in enumerate(rings):
+        for pi, (x, y) in enumerate(ring):
+            rows.append((ri, pi, round(float(x), 9), round(float(y), 9)))
+    return pd.DataFrame(rows, columns=["ring_idx", "point_idx", "lon", "lat"])
+
+
+SQL_TILESET_BOUNDARY = """
+SELECT ring_idx, point_idx, lon, lat
+FROM parquet_scan('/root/repo/tests/golden/tileset_boundary.parquet')
+ORDER BY ring_idx, point_idx
+"""
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing, oracle-checked end to end: each document's text
     bytes stand in for an image payload (opaque binary column), decoded by
@@ -1152,6 +1177,7 @@ REGISTRY = {
     "split_assignment": (q_split_assignment, SQL_SPLIT_ASSIGNMENT),
     "label_proportions": (q_label_proportions, SQL_LABEL_PROPORTIONS),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
+    "tileset_boundary": (q_tileset_boundary, SQL_TILESET_BOUNDARY),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),
