@@ -87,13 +87,14 @@ def run_bench() -> dict:
     del assigned
 
     qtimes = {}
-    for name in BENCH_QUERIES:
-        fn, _sql = REGISTRY[name]
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas() if not hasattr(res, "count") else res.count()
-        qtimes[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        for name in BENCH_QUERIES:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas() if not hasattr(res, "count") else res.count()
+            qtimes[name] = round(time.time() - t0, 3)
 
     out = {
         "metric": "flagship pages->tiles pipeline wall time "
@@ -115,8 +116,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
+        # the scaling metric is the flagship wall time only — skip the
+        # query suite inside each leg (it would add ~30 s/leg of noise
+        # exposure without touching the measured number)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_PAGES=str(N_PAGES))
+                   GRAFT_BENCH_PAGES=str(N_PAGES), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
