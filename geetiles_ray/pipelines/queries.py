@@ -928,6 +928,55 @@ ORDER BY identifier, class
 """
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Distributed exact-Jaccard verification kernel (neardup.verify_pairs_ds:
+    semi-join texts, vectorized char-5-gram shingle sets, per-pair
+    intersection) on a fixed candidate list — consecutive even/odd doc_id
+    pairs — against a full SQL set-algebra oracle. Both sides divide the
+    same integers in float64, so the match is exact with no rounding."""
+    from . import neardup as ndmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    lim = docs.filter(expr="doc_id < 100").materialize()
+    ids = sorted(r["doc_id"] for r in lim.take_all())
+    pair_rows = [(a, a + 1) for a in ids if a % 2 == 0 and a + 1 in set(ids)]
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([p[0] for p in pair_rows], type=pa.int64()),
+        "id_b": pa.array([p[1] for p in pair_rows], type=pa.int64()),
+    }))
+    out = ndmod.verify_pairs_ds(lim, pairs, "doc_id", "text", k=5).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+SQL_JACCARD_PAIRS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 2 = 0
+), ga AS (
+  SELECT DISTINCT id_a, id_b,
+         substr(ta, unnest(range(1, length(ta) - 3)), 5) AS g
+  FROM pr
+), gb AS (
+  SELECT DISTINCT id_a, id_b,
+         substr(tb, unnest(range(1, length(tb) - 3)), 5) AS g
+  FROM pr
+), m AS (
+  SELECT COALESCE(ga.id_a, gb.id_a) AS id_a,
+         COALESCE(ga.id_b, gb.id_b) AS id_b,
+         ga.g IS NOT NULL AS ha, gb.g IS NOT NULL AS hb
+  FROM ga FULL OUTER JOIN gb
+    ON ga.id_a = gb.id_a AND ga.id_b = gb.id_b AND ga.g = gb.g
+)
+SELECT id_a, id_b,
+       CAST(COUNT(*) FILTER (ha AND hb) AS DOUBLE) / COUNT(*) AS jaccard
+FROM m GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
 def q_tileset_boundary(sf_dir: str):
     """Concave (alpha-shape) boundary of the fixture tileset
     (functions/hull.py, the reference get_boundary analogue): boundary
@@ -1178,6 +1227,7 @@ REGISTRY = {
     "label_proportions": (q_label_proportions, SQL_LABEL_PROPORTIONS),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "tileset_boundary": (q_tileset_boundary, SQL_TILESET_BOUNDARY),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_groups": (q_minhash_groups, None),
     "simhash_candidates": (q_simhash_candidates, None),
     "lang_id": (q_lang_id, SQL_LANG_ID),
