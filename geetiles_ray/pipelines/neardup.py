@@ -87,8 +87,28 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
     return vals.min(axis=0)
 
 
+# multiplier shared by the char-shingle hash, the band fold, and their SQL
+# twins (queries.py:_sql_minhash_groups) — every step of the minhash
+# pipeline is plain modular arithmetic so DuckDB can replay it exactly
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_fold(sig_bands: np.ndarray) -> np.ndarray:
+    """(bands, rows_per_band) signature matrix → one uint64 hash per band:
+    polynomial fold Σ sig[r]·MIX^r (wraparound mod 2⁶⁴). Replaces an
+    opaque pandas hash so the LSH bucketing is SQL-expressible."""
+    r = sig_bands.shape[1]
+    pows = _MIX ** np.arange(r, dtype=np.uint64)
+    return (sig_bands * pows[None, :]).sum(axis=1)
+
+
 class MinHashStage:
-    """map_batches stage: text → minhash signature + LSH band rows."""
+    """map_batches stage: text → minhash signature + LSH band rows.
+
+    Every hash is SQL-expressible modular arithmetic (char-shingle
+    polynomial → (a·h+b) mod 2⁶¹-1 minima → band polynomial fold), which
+    is what lets the full near-dup pipeline carry a DuckDB value-hash
+    oracle (queries.py:_sql_minhash_groups)."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int = 128,
                  bands: int = 16, shingle_k: int = 5, seed: int = 42):
@@ -106,14 +126,11 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        sh = _hash_shingles(texts, self.k)
+        sh = _hash_char_shingles(texts, self.k)
         out_id, out_band, out_hash = [], [], []
         for i, s in enumerate(sh):
             sig = minhash_signature(s, self.a, self.b)
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            bh = pd.util.hash_array(
-                np.ascontiguousarray(bands).view(
-                    [("", np.uint64)] * self.rows_per_band).ravel())
+            bh = band_fold(sig.reshape(self.bands, self.rows_per_band))
             out_id.extend([ids[i]] * self.bands)
             out_band.extend(range(self.bands))
             out_hash.extend(bh.tolist())
@@ -263,7 +280,7 @@ def _hash_char_shingles(texts: list[str], k: int) -> list[np.ndarray]:
     than k hash as one whole-text shingle (mirroring exact_jaccard's
     ``{t}`` fallback). Collisions are ~2⁻⁶⁴ per shingle pair — Jaccard
     from these sets equals exact char-shingle Jaccard w.h.p."""
-    mult = np.uint64(0x9E3779B97F4A7C15)
+    mult = _MIX
     pows = mult ** np.arange(k, dtype=np.uint64)
     out = []
     for t in texts:
@@ -509,14 +526,33 @@ def dedup_minhash(ds: ray.data.Dataset, id_col: str, text_col: str,
 _TOKEN_BITS = 64
 
 
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """uint64 polynomial hash Σ cp[j]·MIX^j (wraparound mod 2⁶⁴) per
+    token, fully vectorized over the token list (concatenated codepoints
+    + reduceat segment sums). SQL-expressible — the simhash pipeline's
+    DuckDB twin (queries.py:_sql_simhash_candidates) replays it exactly."""
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+           for t in toks]
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    maxlen = int(lens.max())
+    # python-int powers to avoid numpy's overflow warning (wrap intended)
+    pows = np.array([pow(int(_MIX), j, 1 << 64) for j in range(maxlen)],
+                    dtype=np.uint64)
+    cat = np.concatenate(cps).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(len(cat)) - np.repeat(starts, lens)
+    return np.add.reduceat(cat * pows[pos], starts).astype(np.uint64)
+
+
 def simhash_batch(texts: list[str]) -> np.ndarray:
-    """64-bit simhash per text from token hashes (unweighted)."""
+    """64-bit simhash per text from polynomial token hashes (unweighted,
+    multiplicity-counted — ``text.split()`` semantics)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         toks = t.split()
         if not toks:
             continue
-        h = pd.util.hash_array(np.array(toks, dtype=object))
+        h = _token_hashes(toks)
         bits = ((h[:, None] >> np.arange(_TOKEN_BITS, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
