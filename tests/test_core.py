@@ -225,3 +225,79 @@ class TestCells:
     def test_pick_resolution(self):
         r = cells.pick_resolution(0.05)
         assert 360.0 / (1 << r) >= 0.05 > 360.0 / (1 << (r + 1))
+
+
+class TestGeomProperties:
+    """Property-based checks (hypothesis) over random star-shaped simple
+    polygons — symmetry, self-intersection identity, triangulation
+    partition, and box-clip consistency of the pure-numpy geometry core."""
+
+    @staticmethod
+    def _star(seed, n=None, cx=0.0, cy=0.0):
+        rng = np.random.default_rng(seed)
+        n = n or int(rng.integers(4, 12))
+        # jittered evenly-spaced angles: strictly increasing, every gap
+        # < pi, winds once around the center → the star polygon is simple
+        # for ANY radii (a free-sorted-angles generator is NOT — a >pi
+        # angular gap lets the closing chord cross the chain)
+        ang = 2 * np.pi * (np.arange(n) + rng.uniform(0.05, 0.95, n)) / n
+        rad = rng.uniform(0.5, 2.0, n)
+        ring = np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
+        return np.vstack([ring, ring[:1]])
+
+    def test_self_intersection_is_area(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(0, 10_000))
+        def check(seed):
+            a = self._star(seed)
+            assert geom.intersection_area(a, a) == pytest.approx(
+                geom.shoelace_area(a), rel=1e-9)
+
+        check()
+
+    def test_symmetry_and_bounds(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(0, 10_000), st.integers(0, 10_000),
+               st.floats(-1.5, 1.5), st.floats(-1.5, 1.5))
+        def check(s1, s2, dx, dy):
+            a = self._star(s1)
+            b = self._star(s2, cx=dx, cy=dy)
+            ab = geom.intersection_area(a, b)
+            ba = geom.intersection_area(b, a)
+            assert ab == pytest.approx(ba, rel=1e-6, abs=1e-9)
+            assert -1e-9 <= ab <= min(geom.shoelace_area(a),
+                                      geom.shoelace_area(b)) + 1e-9
+
+        check()
+
+    def test_triangulation_partitions_area(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(0, 10_000))
+        def check(seed):
+            a = self._star(seed)
+            tris = geom.triangulate_ring(a)
+            total = sum(geom.shoelace_area(np.vstack([t, t[:1]]))
+                        for t in tris)
+            assert total == pytest.approx(geom.shoelace_area(a), rel=1e-9)
+
+        check()
+
+    def test_clip_to_own_bbox_is_identity(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(0, 10_000))
+        def check(seed):
+            a = self._star(seed)
+            minx, miny, maxx, maxy = geom.bounds(a)
+            assert geom.box_clip_area(a, minx, miny, maxx, maxy) == \
+                pytest.approx(geom.shoelace_area(a), rel=1e-9)
+
+        check()
