@@ -148,3 +148,37 @@ class TestDedupTwoPass:
             .drop_duplicates(["a", "b"], keep="first") \
             .sort_values(["a", "b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestDedupBroadcastProperties:
+    def test_random_corpora_match_pandas(self):
+        """Property check: random key/order corpora (dup rates 0-60%, ties
+        at the minimum with identical payloads, 1-8 blocks) must match the
+        pandas drop_duplicates oracle exactly."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.integers(0, 10_000), st.integers(1, 8),
+               st.sampled_from([1, 3, 10]))
+        def check(seed, nblocks, key_div):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(20, 300))
+            keys = rng.integers(0, max(n // key_div, 1), n)
+            order = rng.integers(0, 50, n)  # small range → ties likely
+            df = pd.DataFrame({
+                "url": [f"k{k}" for k in keys],
+                "warc_ts": order,
+                # payload must be a pure function of (key, order) so tied
+                # minimum rows are identical and any tie pick is correct
+                "payload": keys * 1000 + order,
+            })
+            ds = ray.data.from_pandas(df, override_num_blocks=nblocks) \
+                .materialize()
+            got = dedupmod.dedup_exact_broadcast(
+                ds, key="url", order_col="warc_ts") \
+                .to_pandas().sort_values("url").reset_index(drop=True)
+            want = _oracle(df)
+            pd.testing.assert_frame_equal(got[want.columns], want,
+                                          check_dtype=False)
+
+        check()
