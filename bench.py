@@ -33,9 +33,31 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "token_stats", "knn_pages"]
 
 
+def host_probe() -> dict:
+    """~1 s single-process probe of the host's real compute/memory speed.
+    This VM shows episodic hypervisor throttling that /proc/stat steal does
+    NOT reveal (observed idle=100%%, steal=0%% while matmul ran 10-30x
+    slow); recording the probe beside every benchmark lets a reader
+    separate code regressions from a throttled measurement window.
+    Healthy reference on this host: matmul ≈ 0.15-0.5 s, memsum ≳ 5 GB/s."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((2000, 2000))
+    t0 = time.time()
+    a @ a
+    mm = time.time() - t0
+    b = np.zeros(1 << 27, dtype=np.uint8)  # 128 MiB
+    t0 = time.time()
+    b.sum()
+    ms = time.time() - t0
+    return {"host_matmul_sec": round(mm, 3),
+            "host_memsum_gbps": round((1 << 27) / ms / 1e9, 2)}
+
+
 def run_bench() -> dict:
     import ray
 
+    probe = host_probe()
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     from geetiles_ray.ray_tuning import tune
@@ -109,6 +131,7 @@ def run_bench() -> dict:
         "n_assigned_rows": int(n_assigned),
         "n_tile_lang_rows": int(n_join),
         "pages_per_sec": round(N_PAGES / headline, 1),
+        **probe,
     }
     ray.shutdown()
     return out
