@@ -153,9 +153,10 @@ class TestMetrics:
         n = tiles.count()
         raster.render_tiles(tiles, "worldcoverlike", pixels_hw=(20, 20),
                             concurrency=1).materialize()
-        # fire-and-forget flushes: give the actor a beat to drain
+        # fire-and-forget flushes: give the actor time to drain (generous —
+        # this host throttles episodically and actor RPCs lag with it)
         import time
-        for _ in range(50):
+        for _ in range(300):
             snap = mf2.snapshot()
             if snap.get("render.worldcoverlike.rows", 0) >= n:
                 break
