@@ -358,6 +358,11 @@ def dedup_exact_broadcast(
     richer orderings fall back to dedup_exact_twopass."""
     import ray
 
+    if not isinstance(order_col, str):
+        # composite orderings need per-key lexicographic minima the
+        # broadcast stats don't carry — use the exchange-based two-pass
+        return dedup_exact_twopass(ds, key, order_col, nbuckets)
+
     keys = [key] if isinstance(key, str) else list(key)
     if stats_ref is None:
         dup_ref = dup_key_set(ds, key)
