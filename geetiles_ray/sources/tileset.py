@@ -245,17 +245,33 @@ def import_geojson(path: str) -> ray.data.Dataset:
     return ray.data.from_arrow(tbl)
 
 
-def tileset_region(ds: ray.data.Dataset, alpha: float = 1.0) -> "list":
+def tileset_region(ds: ray.data.Dataset, alpha: float = 1.0,
+                   chunk: int = 1000) -> "list":
     """Concave boundary of a tileset (reference PartitionSet.get_region,
-    partitions.py:63 → utils.get_boundary): stream the tile rings to the
-    driver in batches (geometry only — 5 points × 16 B per tile) and run
-    the chunked alpha-shape hulls-of-hulls. Returns closed rings,
-    largest first."""
+    partitions.py:63 → utils.get_boundary, which splits into 1000-geometry
+    chunks, hulls each, then hulls the hulls). The chunk pass runs
+    DISTRIBUTED — each map_batches task alpha-shapes its own tile batch
+    (bounded Delaunay size) and emits only its hull rings' POINTS; the
+    driver triangulates just those (|chunks| × boundary points), never the
+    corpus. Returns closed rings, largest first."""
     from ..functions import geom as geommod
     from ..functions import hull as hullmod
 
-    rings = []
-    for b in ds.select_columns(["wkb"]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        rings.extend(geommod.wkb_to_ring(w) for w in b["wkb"].to_pylist())
-    return hullmod.get_boundary(rings, alpha=alpha)
+    def chunk_hull(batch: pa.Table) -> pa.Table:
+        rings = [geommod.wkb_to_ring(w) for w in batch["wkb"].to_pylist()]
+        hulls = hullmod.concave_hull(rings, alpha)
+        pts = np.vstack(hulls) if hulls else np.empty((0, 2))
+        return pa.table({"x": pa.array(pts[:, 0], type=pa.float64()),
+                         "y": pa.array(pts[:, 1], type=pa.float64())})
+
+    xs, ys = [], []
+    for b in ds.select_columns(["wkb"]) \
+            .map_batches(chunk_hull, batch_format="pyarrow",
+                         batch_size=chunk) \
+            .iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        xs.append(b["x"].to_numpy())
+        ys.append(b["y"].to_numpy())
+    if not xs:
+        return []
+    pts = np.column_stack([np.concatenate(xs), np.concatenate(ys)])
+    return hullmod.alpha_shape(pts, alpha)
