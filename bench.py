@@ -30,7 +30,10 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
 BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "pricing_summary", "top_customers", "events_hourly",
-                 "token_stats", "knn_pages"]
+                 "token_stats", "knn_pages",
+                 # round-2 operators
+                 "dedup_events_broadcast", "orders_customer_join",
+                 "embedding_neardup", "ann_topk"]
 
 
 def host_probe() -> dict:
