@@ -78,6 +78,9 @@ def main():
     import __ray_entry__ as mod
 
     con = duckdb.connect()
+    # Spill to /tmp, not cwd — DuckDB's default in-memory temp dir is
+    # ./.tmp, which once landed 22 GB of spill files inside the repo.
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
