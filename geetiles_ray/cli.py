@@ -196,10 +196,87 @@ def cmd_mosaic(a):
     tiles = _load_tiles(a.tiles_file)
     dest = os.path.splitext(a.tiles_file.rstrip("/"))[0]
     rasters = raster.read_geotiff_layout(os.path.join(dest, a.dataset_name))
-    canvas, bounds = raster.mosaic(rasters, tiles)
+    channels = ast.literal_eval(a.channels) if a.channels else None
+    if a.block_px:
+        # scale path: never materializes the canvas anywhere
+        blocks, frame = raster.mosaic_blocks(rasters, tiles,
+                                             channels=channels,
+                                             block_px=a.block_px)
+        out = os.path.join(dest, f"{a.dataset_name}_mosaic_blocks")
+        n = raster.write_blockgrid(blocks, frame, out, block_px=a.block_px)
+        print(f"mosaic written to {out} ({n} blocks)")
+        return
+    canvas, bounds = raster.mosaic(rasters, tiles, channels=channels)
     out = os.path.join(dest, f"{a.dataset_name}_mosaic.tif")
     tiff.write_tiff(out, canvas, bounds=bounds)
     print(f"mosaic written to {out}")
+
+
+def cmd_mosaic_fromvals(a):
+    """mosaic.fromvals (reference main.py:86-90 / cmds.py:784-865): tiles
+    file with a per-tile value column → solid-fill mosaic."""
+    from .functions import tiff
+    from .sources import tileset as tsmod
+    from .stages import raster
+
+    if a.tiles_file.endswith(".geojson"):
+        tiles = tsmod.import_geojson(a.tiles_file,
+                                     keep_properties=[a.value_col])
+    else:
+        tiles = tsmod.load_tileset(a.tiles_file)
+    blocks, frame = raster.mosaic_fromvals(tiles, a.pixels_per_degree,
+                                           value_col=a.value_col,
+                                           block_px=a.block_px)
+    base = os.path.splitext(a.dest_file)[0]
+    if frame["H"] * frame["W"] > a.max_driver_pixels:
+        out = base + "_blocks"
+        n = raster.write_blockgrid(blocks, frame, out, block_px=a.block_px)
+        print(f"mosaic written to {out} ({n} blocks; canvas "
+              f"{frame['H']}x{frame['W']} exceeds --max_driver_pixels)")
+        return
+    canvas, bounds = raster.assemble_blocks(blocks, frame,
+                                            block_px=a.block_px)
+    tiff.write_tiff(a.dest_file, canvas, bounds=bounds)
+    print(f"mosaic written to {a.dest_file}")
+
+
+def cmd_aois(a):
+    """aois (reference main.py:45-49): list / extract named AOIs."""
+    from .functions import wkt as wktmod
+    from .sources import aoi as aoimod
+
+    reg = aoimod.aoinames
+    if a.load:
+        reg.load(a.load)
+    if a.showall:
+        names = sorted(aoimod._BUILTIN)
+        if reg.table is not None:
+            for c in ["name", "country", "continent", "region"]:
+                if c in reg.table.column_names:
+                    names += [str(v) for v in reg.table[c].to_pylist()]
+        for n in names:
+            print(n)
+    if a.extract:
+        ring = reg.get_aoi(a.extract)
+        out = a.dest_file or f"{a.extract}.wkt"
+        with open(out, "w") as f:
+            f.write(wktmod.dumps_polygon(ring))
+        print(f"aoi {a.extract} extracted to {out}")
+
+
+def cmd_cleanup(a):
+    """cleanup (reference main.py:92-96 / cmds.py:705-742): remove
+    unreadable tifs from a folder."""
+    from .stages import raster
+
+    removed = raster.cleanup_geotiff_dir(a.basedir, dry_run=a.dry_run)
+    verb = "would remove" if a.dry_run else "removed"
+    if removed:
+        print(f"{verb} {len(removed)} files:")
+        for p in removed:
+            print(f"  {p}")
+    else:
+        print("no files to remove")
 
 
 def cmd_zip(a):
@@ -326,7 +403,34 @@ def main(argv=None):
     mo = sub.add_parser("mosaic")
     mo.add_argument("--tiles_file", required=True)
     mo.add_argument("--dataset_name", required=True)
+    mo.add_argument("--channels", default=None,
+                    help="list of channel indices, e.g. [0,1]")
+    mo.add_argument("--block_px", type=int, default=None,
+                    help="write a block-grid directory instead of one tif")
     mo.set_defaults(fn=cmd_mosaic)
+
+    mv = sub.add_parser("mosaic.fromvals")
+    mv.add_argument("--tiles_file", required=True,
+                    help="geojson/tileset with identifier, value, geometry")
+    mv.add_argument("--dest_file", required=True)
+    mv.add_argument("--pixels_per_degree", type=float, required=True)
+    mv.add_argument("--value_col", default="value")
+    mv.add_argument("--block_px", type=int, default=1024)
+    mv.add_argument("--max_driver_pixels", type=int, default=2 ** 26)
+    mv.set_defaults(fn=cmd_mosaic_fromvals)
+
+    ao = sub.add_parser("aois")
+    ao.add_argument("--showall", action="store_true")
+    ao.add_argument("--extract", default=None)
+    ao.add_argument("--dest_file", default=None)
+    ao.add_argument("--load", default=None,
+                    help="parquet with (name|country|continent|region, wkt)")
+    ao.set_defaults(fn=cmd_aois)
+
+    cu = sub.add_parser("cleanup")
+    cu.add_argument("--basedir", required=True)
+    cu.add_argument("--dry_run", action="store_true")
+    cu.set_defaults(fn=cmd_cleanup)
 
     z = sub.add_parser("zip")
     z.add_argument("--tiles_file", required=True)

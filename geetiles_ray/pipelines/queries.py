@@ -10,11 +10,20 @@ rounded to a fixed number of decimals in BOTH implementations.
 
 from __future__ import annotations
 
+import os
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
+
+# golden regression parquets live in the repo's tests/golden — derived
+# from __file__ so any checkout location works (not just /root/repo)
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden")
 
 from ..functions import geocode as geo
 from ..sources import pages as pagesmod
@@ -868,9 +877,9 @@ def q_grid_tileset(sf_dir: str):
     return df[["grid_idx", "identifier", "area_km2", "cell_id"]]
 
 
-SQL_GRID_TILESET = """
+SQL_GRID_TILESET = f"""
 SELECT grid_idx, identifier, area_km2, CAST(cell_id AS UBIGINT) AS cell_id
-FROM parquet_scan('/root/repo/tests/golden/grid_tileset.parquet')
+FROM parquet_scan('{_GOLDEN_DIR}/grid_tileset.parquet')
 ORDER BY grid_idx
 """
 
@@ -891,9 +900,9 @@ def q_split_assignment(sf_dir: str):
     return df[["grid_idx", "identifier", "split"]]
 
 
-SQL_SPLIT_ASSIGNMENT = """
+SQL_SPLIT_ASSIGNMENT = f"""
 SELECT grid_idx, identifier, split
-FROM parquet_scan('/root/repo/tests/golden/split_assignment.parquet')
+FROM parquet_scan('{_GOLDEN_DIR}/split_assignment.parquet')
 ORDER BY grid_idx
 """
 
@@ -921,9 +930,9 @@ def q_label_proportions(sf_dir: str):
     return out.sort_values(["identifier", "class"]).reset_index(drop=True)
 
 
-SQL_LABEL_PROPORTIONS = """
+SQL_LABEL_PROPORTIONS = f"""
 SELECT identifier, class, share
-FROM parquet_scan('/root/repo/tests/golden/label_proportions.parquet')
+FROM parquet_scan('{_GOLDEN_DIR}/label_proportions.parquet')
 ORDER BY identifier, class
 """
 
@@ -995,10 +1004,68 @@ def q_tileset_boundary(sf_dir: str):
     return pd.DataFrame(rows, columns=["ring_idx", "point_idx", "lon", "lat"])
 
 
-SQL_TILESET_BOUNDARY = """
+SQL_TILESET_BOUNDARY = f"""
 SELECT ring_idx, point_idx, lon, lat
-FROM parquet_scan('/root/repo/tests/golden/tileset_boundary.parquet')
+FROM parquet_scan('{_GOLDEN_DIR}/tileset_boundary.parquet')
 ORDER BY ring_idx, point_idx
+"""
+
+
+def q_tilevalues_mosaic(sf_dir: str):
+    """mosaic.fromvals (reference cmds.py:784-865) over the fixture
+    tileset: per-tile value = grid_idx % 7 (zeros exercise the
+    nothing-overwrites-with-zero rule), rendered distributed via the
+    block-grid path (stages/raster.py:mosaic_fromvals — groupby canvas
+    block → per-block compose; never driver-resident). Output: one digest
+    row per canvas block (dims, nonzero count, value sum, pixel CRC).
+    Pinned against a committed golden parquet; the compose math itself is
+    independently brute-force-verified in pytest
+    (tests/test_mosaic_blocks.py)."""
+    from ..stages import raster as rastermod
+    from . import flagship
+
+    tiles = flagship.build_fixture_tileset(5000.0)
+
+    def add_value(batch: pa.Table) -> pa.Table:
+        v = (np.asarray(batch["grid_idx"], dtype=np.int64) % 7).astype(
+            np.float64)
+        return batch.append_column("value", pa.array(v))
+
+    tiles = tiles.map_batches(add_value, batch_format="pyarrow")
+    blocks, _frame = rastermod.mosaic_fromvals(tiles, pixels_per_degree=200.0,
+                                               block_px=64)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        rows = {"by": [], "bx": [], "h": [], "w": [], "nonzero_px": [],
+                "value_sum": [], "crc": []}
+        for i in range(len(batch)):
+            px = batch["pixels"][i].as_py()
+            arr = np.frombuffer(px, dtype=batch["dtype"][i].as_py())
+            rows["by"].append(batch["by"][i].as_py())
+            rows["bx"].append(batch["bx"][i].as_py())
+            rows["h"].append(batch["h"][i].as_py())
+            rows["w"].append(batch["w"][i].as_py())
+            rows["nonzero_px"].append(int((arr != 0).sum()))
+            rows["value_sum"].append(round(float(arr.sum()), 6))
+            rows["crc"].append(zlib.crc32(px))
+        return pa.table({
+            "by": pa.array(rows["by"], type=pa.int32()),
+            "bx": pa.array(rows["bx"], type=pa.int32()),
+            "h": pa.array(rows["h"], type=pa.int32()),
+            "w": pa.array(rows["w"], type=pa.int32()),
+            "nonzero_px": pa.array(rows["nonzero_px"], type=pa.int64()),
+            "value_sum": pa.array(rows["value_sum"], type=pa.float64()),
+            "crc": pa.array(rows["crc"], type=pa.int64()),
+        })
+
+    df = blocks.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["by", "bx"]).reset_index(drop=True)
+
+
+SQL_TILEVALUES_MOSAIC = f"""
+SELECT by, bx, h, w, nonzero_px, value_sum, crc
+FROM parquet_scan('{_GOLDEN_DIR}/tilevalues_mosaic.parquet')
+ORDER BY by, bx
 """
 
 
@@ -1392,6 +1459,7 @@ REGISTRY = {
     "label_proportions": (q_label_proportions, SQL_LABEL_PROPORTIONS),
     "image_features": (q_image_features, SQL_IMAGE_FEATURES),
     "tileset_boundary": (q_tileset_boundary, SQL_TILESET_BOUNDARY),
+    "tilevalues_mosaic": (q_tilevalues_mosaic, SQL_TILEVALUES_MOSAIC),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_groups": (q_minhash_groups, SQL_MINHASH_GROUPS),
     "simhash_candidates": (q_simhash_candidates, SQL_SIMHASH_CANDIDATES),

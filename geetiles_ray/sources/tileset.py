@@ -221,27 +221,36 @@ def write_provenance(out_dir: str, plugin) -> str:
     return path
 
 
-def import_geojson(path: str) -> ray.data.Dataset:
+def import_geojson(path: str,
+                   keep_properties: list[str] | None = None) -> ray.data.Dataset:
     """Compatibility source (S2): GeoJSON FeatureCollection → tileset rows.
     Re-derives identifier/area/cell columns from the geometry so round-trips
-    are self-consistent."""
+    are self-consistent. ``keep_properties`` carries named feature
+    properties through as extra columns (repeated per exploded multipart
+    row) — e.g. the ``value`` column mosaic.fromvals needs
+    (reference cmds.py:784: geojson with identifier/value/geometry)."""
     with open(path) as f:
         fc = json.load(f)
     rings = []
+    props: dict[str, list] = {k: [] for k in (keep_properties or [])}
     for feat in fc["features"]:
         coords = feat["geometry"]["coordinates"]
         if feat["geometry"]["type"] == "MultiPolygon":
             # flatten multipart into one row per part (reference
             # utils.py:20-42 flatten_geom explodes, never drops parts)
-            rings.extend(np.asarray(part[0], dtype=np.float64)
-                         for part in coords)
+            parts = [np.asarray(part[0], dtype=np.float64) for part in coords]
         else:
-            rings.append(np.asarray(coords[0], dtype=np.float64))
+            parts = [np.asarray(coords[0], dtype=np.float64)]
+        rings.extend(parts)
+        for k in props:
+            props[k].extend([feat.get("properties", {}).get(k)] * len(parts))
     all_pts = np.vstack(rings)
     clon, clat = all_pts[:, 0].mean(), all_pts[:, 1].mean()
     zone, north = crsmod.utm_zone(clon, clat)
     res = cellsmod.pick_resolution(max(r[:, 0].max() - r[:, 0].min() for r in rings))
     tbl = tile_batch_from_rings(rings, np.arange(len(rings)), zone, north, res)
+    for k, vals in props.items():
+        tbl = tbl.append_column(k, pa.array(vals))
     return ray.data.from_arrow(tbl)
 
 

@@ -61,3 +61,54 @@ class TestCli:
                   "--n_partitions", "8", "--chip_size_meters", "20000"])
         after = {p: os.path.getmtime(p) for p in manifests}
         assert before == after
+
+    def test_mosaic_blockgrid(self, grid_dir):
+        # shortest match = the tileset itself, not _withsplits/_splits.csv
+        tiles_file = min(glob.glob(
+            os.path.join(grid_dir, "luxel_partitions_aschips_*")), key=len)
+        cli.main(["mosaic", "--tiles_file", tiles_file,
+                  "--dataset_name", "worldcoverlike", "--block_px", "64"])
+        out = os.path.join(tiles_file, "worldcoverlike_mosaic_blocks")
+        assert glob.glob(os.path.join(out, "*.tif"))
+
+    def test_mosaic_fromvals(self, tmp_path):
+        import json
+
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"value": v},
+             "geometry": {"type": "Polygon", "coordinates": [[
+                 [x, 0.0], [x + 1.0, 0.0], [x + 1.0, 1.0],
+                 [x, 1.0], [x, 0.0]]]}}
+            for x, v in [(0.0, 2.5), (1.0, 4.5)]]}
+        tf = str(tmp_path / "vals.geojson")
+        json.dump(fc, open(tf, "w"))
+        dest = str(tmp_path / "vals_mosaic.tif")
+        cli.main(["mosaic.fromvals", "--tiles_file", tf, "--dest_file", dest,
+                  "--pixels_per_degree", "20"])
+        from geetiles_ray.functions import tiff
+
+        arr, bounds, _ = tiff.read_tiff(dest)
+        assert arr.shape == (20, 40, 1)
+        assert sorted(set(arr.ravel().tolist())) == [2.5, 4.5]
+        assert bounds == pytest.approx((0.0, 0.0, 2.0, 1.0))
+
+    def test_aois(self, tmp_path, capsys):
+        cli.main(["aois", "--showall"])
+        out = capsys.readouterr().out
+        assert "luxbox" in out and "luxel" in out
+        dest = str(tmp_path / "luxbox.wkt")
+        cli.main(["aois", "--extract", "luxbox", "--dest_file", dest])
+        from geetiles_ray.functions import wkt
+
+        ring = wkt.load_exterior(open(dest).read())
+        assert ring.shape[1] == 2 and len(ring) >= 5
+
+    def test_cleanup(self, grid_dir, capsys):
+        tiles_file = min(glob.glob(
+            os.path.join(grid_dir, "luxel_partitions_aschips_*")), key=len)
+        wc = os.path.join(tiles_file, "worldcoverlike")
+        bad = os.path.join(wc, "corrupt.tif")
+        open(bad, "wb").write(b"junk")
+        cli.main(["cleanup", "--basedir", wc])
+        assert not os.path.exists(bad)
+        assert "removed 1 files" in capsys.readouterr().out
