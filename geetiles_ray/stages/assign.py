@@ -199,11 +199,25 @@ class TileIndex:
             best_contained[tgt] = inside[better]
 
     def knn(self, px: np.ndarray, py: np.ndarray, k: int,
-            tile_chunk: int = 65536) -> np.ndarray:
-        """k nearest tile centers per point (indices, ascending distance).
-        Brute-force vectorized with chunking over tiles — the baseline path;
-        for ≫10^6 tiles use the bucket-ring search per cell (documented
-        scale path)."""
+            tile_chunk: int = 65536, method: str = "auto") -> np.ndarray:
+        """k nearest tile centers per point (indices; ascending distance,
+        ties by tile index). Two physical plans with identical results
+        (pytest-asserted):
+
+        - ``ring``: expanding bucket-ring search (same bound as
+          :meth:`assign`'s gap scan) — O(k + rings) buckets per point, the
+          scale path for planetary tilesets (10^8 tiles: each query touches
+          a handful of buckets instead of every center).
+        - ``brute``: chunked distance matrix over all centers — the test
+          oracle, and the faster plan for small tilesets where the ring
+          bookkeeping dominates.
+        """
+        nt = len(self.clon)
+        if method == "brute" or (method == "auto" and nt <= 4096):
+            return self._knn_brute(px, py, k, tile_chunk)
+        return self._knn_ring(px, py, k)
+
+    def _knn_brute(self, px, py, k, tile_chunk=65536) -> np.ndarray:
         px = np.asarray(px, dtype=np.float64)[:, None]
         py = np.asarray(py, dtype=np.float64)[:, None]
         n = px.shape[0]
@@ -220,9 +234,106 @@ class TileIndex:
             rows = np.arange(n)[:, None]
             best_d = alld[rows, sel]
             best_i = alli[rows, sel]
-        order = np.argsort(best_d, axis=1, kind="stable")
+        # deterministic order: distance, then tile index on exact ties
         rows = np.arange(n)[:, None]
-        return best_i[rows, order]
+        o = np.argsort(best_i, axis=1, kind="stable")
+        best_d, best_i = best_d[rows, o], best_i[rows, o]
+        o = np.argsort(best_d, axis=1, kind="stable")
+        return best_i[rows, o]
+
+    def _center_csr(self):
+        """Lazy CSR bucket→tile-CENTER adjacency (the bbox CSR in __init__
+        buckets tiles by their spans; kNN needs centers)."""
+        if not hasattr(self, "_cptr"):
+            cbx = np.clip(((self.clon - self.x0) / self.bw).astype(np.int64),
+                          0, self.nbx - 1)
+            cby = np.clip(((self.clat - self.y0) / self.bh).astype(np.int64),
+                          0, self.nby - 1)
+            b = cby * self.nbx + cbx
+            order = np.argsort(b, kind="stable")
+            self._centries = order
+            self._cptr = np.zeros(self.nbx * self.nby + 1, dtype=np.int64)
+            np.add.at(self._cptr, b + 1, 1)
+            np.cumsum(self._cptr, out=self._cptr)
+        return self._cptr, self._centries
+
+    def _knn_ring(self, px, py, k) -> np.ndarray:
+        """Expanding-ring kNN: per ring r, gather candidate centers from the
+        Chebyshev-ring-r buckets of every still-active point, merge them
+        with the point's current top-k (one vectorized lexsort + rank-per-
+        group pass), stop when the kth distance is ≤ (r·min(bw,bh))² — the
+        same no-closer-bucket bound assign() uses — or every grid bucket
+        has been seen."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        n = len(px)
+        nt = len(self.clon)
+        k = min(k, nt)
+        if n == 0 or k == 0:
+            return np.full((n, k), -1, dtype=np.int64)
+        cptr, centries = self._center_csr()
+        minwh = min(self.bw, self.bh)
+        fx = np.floor((px - self.x0) / self.bw).astype(np.int64)
+        fy = np.floor((py - self.y0) / self.bh).astype(np.int64)
+        # ring at which a point has seen every grid bucket (works for
+        # out-of-grid centers too: max(fx, nbx-1-fx) covers both overhangs)
+        rmax = np.maximum(np.maximum(fx, self.nbx - 1 - fx),
+                          np.maximum(fy, self.nby - 1 - fy))
+        best_d = np.full((n, k), np.inf)
+        best_i = np.full((n, k), -1, dtype=np.int64)
+        active = np.arange(n)
+        r = 0
+        while len(active):
+            if r == 0:
+                offs = [(0, 0)]
+            else:
+                offs = [(dx, dy) for dx in range(-r, r + 1) for dy in (-r, r)]
+                offs += [(dx, dy) for dx in (-r, r) for dy in range(-r + 1, r)]
+            ap_list, ti_list = [], []
+            for dx, dy in offs:
+                nx = fx[active] + dx
+                ny = fy[active] + dy
+                valid = (nx >= 0) & (nx < self.nbx) & (ny >= 0) & (ny < self.nby)
+                if not valid.any():
+                    continue
+                vpos = np.nonzero(valid)[0]
+                b = ny[vpos] * self.nbx + nx[vpos]
+                start, cnt = cptr[b], cptr[b + 1] - cptr[b]
+                maxc = int(cnt.max()) if len(b) else 0
+                for kk in range(maxc):
+                    has = kk < cnt
+                    if not has.any():
+                        break
+                    ap_list.append(vpos[has])
+                    ti_list.append(centries[start[has] + kk])
+            if ap_list:
+                ap = np.concatenate(ap_list)          # positions into active
+                ti = np.concatenate(ti_list)
+                dd = (px[active[ap]] - self.clon[ti]) ** 2 \
+                    + (py[active[ap]] - self.clat[ti]) ** 2
+                # merge new candidates with the touched points' current top-k
+                tpos = np.unique(ap)
+                ex_ap = np.repeat(tpos, k)
+                ex_ti = best_i[active[tpos]].ravel()
+                ex_dd = best_d[active[tpos]].ravel()
+                keep = ex_ti >= 0
+                ap_all = np.concatenate([ap, ex_ap[keep]])
+                ti_all = np.concatenate([ti, ex_ti[keep]])
+                dd_all = np.concatenate([dd, ex_dd[keep]])
+                order = np.lexsort((ti_all, dd_all, ap_all))
+                ap_s, ti_s, dd_s = ap_all[order], ti_all[order], dd_all[order]
+                newgrp = np.r_[True, ap_s[1:] != ap_s[:-1]]
+                gstart = np.maximum.accumulate(
+                    np.where(newgrp, np.arange(len(ap_s)), 0))
+                rank = np.arange(len(ap_s)) - gstart
+                m = rank < k
+                best_i[active[ap_s[m]], rank[m]] = ti_s[m]
+                best_d[active[ap_s[m]], rank[m]] = dd_s[m]
+            done = (best_d[active, k - 1] <= (r * minwh) ** 2) \
+                | (r >= rmax[active])
+            active = active[~done]
+            r += 1
+        return best_i
 
 
 def broadcast_tileset(tiles_ds: ray.data.Dataset) -> "ray.ObjectRef":

@@ -173,6 +173,53 @@ class TestAssign:
         expect = list(tiles_df.identifier.values[np.argsort(d2, kind="stable")[:3]])
         assert list(r.knn_3) == expect
 
+    def test_knn_ring_matches_brute(self, tiles):
+        # the scale path (expanding bucket-ring) must reproduce the brute
+        # oracle exactly — fixture tileset + mixed in/out-of-grid queries
+        from geetiles_ray.stages.assign import TileIndex, broadcast_tileset
+        import ray
+
+        arrays = ray.get(broadcast_tileset(tiles))
+        ix = TileIndex(**{k: arrays[k] for k in
+                          ["minx", "miny", "maxx", "maxy", "identifier",
+                           "clon", "clat"]})
+        rng = np.random.default_rng(7)
+        qx = rng.uniform(arrays["minx"].min() - 0.5,
+                         arrays["maxx"].max() + 0.5, 400)
+        qy = rng.uniform(arrays["miny"].min() - 0.5,
+                         arrays["maxy"].max() + 0.5, 400)
+        for k in (1, 3, 10):
+            ring = ix.knn(qx, qy, k, method="ring")
+            brute = ix.knn(qx, qy, k, method="brute")
+            assert (ring == brute).all(), k
+        # k larger than the tileset: both return every tile
+        nt = len(arrays["clon"])
+        ring = ix.knn(qx[:5], qy[:5], nt + 10, method="ring")
+        brute = ix.knn(qx[:5], qy[:5], nt + 10, method="brute")
+        assert ring.shape == (5, nt) and (ring == brute).all()
+
+    def test_knn_ring_matches_brute_large_grid(self):
+        # 100×100 synthetic grid (10^4 tiles > auto threshold) with queries
+        # far outside the grid, on corners, and interior
+        from geetiles_ray.stages.assign import TileIndex
+
+        g = np.arange(100, dtype=np.float64)
+        gx, gy = np.meshgrid(g, g)
+        minx, miny = gx.ravel(), gy.ravel()
+        maxx, maxy = minx + 0.9, miny + 0.9
+        ids = np.array([f"t{i:05d}" for i in range(len(minx))], dtype=object)
+        ix = TileIndex(minx, miny, maxx, maxy, ids,
+                       (minx + maxx) / 2, (miny + maxy) / 2)
+        rng = np.random.default_rng(11)
+        qx = np.concatenate([rng.uniform(-5, 105, 200),
+                             np.array([-500.0, 500.0, 50.0, -3.0])])
+        qy = np.concatenate([rng.uniform(-5, 105, 200),
+                             np.array([50.0, -500.0, 700.0, -3.0])])
+        for k in (1, 5):
+            ring = ix.knn(qx, qy, k, method="ring")
+            brute = ix.knn(qx, qy, k, method="brute")
+            assert (ring == brute).all(), k
+
     def test_hot_cell_skew_exists(self, assigned):
         # fixture guarantees dense cells (FIXTURES.md F1): top-2 cells ≥ 30%
         counts = assigned.cell_id.value_counts()
