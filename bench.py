@@ -57,10 +57,32 @@ def host_probe() -> dict:
             "host_memsum_gbps": round((1 << 27) / ms / 1e9, 2)}
 
 
+def wait_for_healthy(budget_sec: float) -> dict:
+    """Bounded wait for an unthrottled measurement window: re-probe every
+    45 s until the host looks healthy (matmul < 0.6 s, memsum > 4 GB/s)
+    or the budget runs out. The throttling episodes on this VM last
+    minutes and make any timing 10-30x off; waiting (bounded, honestly
+    recorded via ``waited_for_healthy_sec`` / ``throttled_window``) makes
+    round-over-round benchmark numbers comparable. ``budget_sec=0`` =
+    probe once, never wait (subprocess scaling legs use this — the parent
+    waits once for all of them)."""
+    t0 = time.time()
+    while True:
+        p = host_probe()
+        if p["host_matmul_sec"] < 0.6 and p["host_memsum_gbps"] > 4.0:
+            break
+        if time.time() - t0 >= budget_sec:
+            p["throttled_window"] = True
+            break
+        time.sleep(45)
+    p["waited_for_healthy_sec"] = round(time.time() - t0, 1)
+    return p
+
+
 def run_bench() -> dict:
     import ray
 
-    probe = host_probe()
+    probe = wait_for_healthy(float(os.environ.get("GRAFT_WAIT_HEALTHY", "420")))
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     from geetiles_ray.ray_tuning import tune
@@ -146,7 +168,8 @@ def run_scaling() -> dict:
         # query suite inside each leg (it would add ~30 s/leg of noise
         # exposure without touching the measured number)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_PAGES=str(N_PAGES), GRAFT_SKIP_QUERIES="1")
+                   GRAFT_BENCH_PAGES=str(N_PAGES), GRAFT_SKIP_QUERIES="1",
+                   GRAFT_WAIT_HEALTHY="0")  # parent waited for the window
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -160,6 +183,7 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    probe = wait_for_healthy(float(os.environ.get("GRAFT_WAIT_HEALTHY", "420")))
     # best-of-N per leg: this sandbox VM shows real CPU steal (noisy
     # neighbours, /proc/stat col 8), so a single 10-60 s timing can be
     # 2x off; the minimum is the closest estimate of true capability
@@ -178,6 +202,11 @@ def run_scaling() -> dict:
         f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
         f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # window-health evidence: parent pre-wait probe + each best leg's
+        # own probe (throttling mid-run shows up here)
+        **probe,
+        f"host_matmul_sec_{lo}": r_lo["host_matmul_sec"],
+        f"host_matmul_sec_{hi}": r_hi["host_matmul_sec"],
     }
 
 

@@ -102,6 +102,8 @@ def cmd_download(a):
     # whole pipeline waiting for actors that can never be placed
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     conc = max(1, min(a.n_processes, ncpu - 1 if ncpu > 1 else 1))
+    from .state import metrics as metricsmod
+    metricsmod.reset()  # per-run counts — the named actor survives pipelines
     rasters = raster.render_tiles(tiles, plugin, pixels_hw=tuple(hw),
                                   concurrency=(1, conc))
     if a.shuffle:
@@ -113,7 +115,6 @@ def cmd_download(a):
                                     skip_if_exists=a.skip_if_exists,
                                     plugin=plugin)
     tsmod.write_provenance(os.path.join(dest, plugin.get_dataset_name()), plugin)
-    from .state import metrics as metricsmod
     snap = metricsmod.snapshot()
     pfx = f"render.{plugin.get_dataset_name()}"
     print(f"wrote {n} tiles under {dest}/{plugin.get_dataset_name()} "
@@ -328,8 +329,9 @@ def cmd_ingest(a):
     assigned = assignmod.assign_pages(extracted, tiles, use_actors=False)
     slim = assigned.drop_columns(["html", "text"])
     deduped = dedupmod.dedup_exact(slim, key="url", order_col="warc_ts")
-    res = manifestmod.checkpointed_write(deduped, a.dest_dir, key_col="url",
-                                         n_partitions=a.n_partitions)
+    res = manifestmod.checkpointed_write(
+        deduped, a.dest_dir, key_col="url",
+        n_partitions=a.n_partitions or None)
     print(f"ingested {res['total_rows']} rows -> {a.dest_dir} "
           f"({len(res['written'])} partitions written, "
           f"{len(res['skipped'])} resumed/skipped)")
@@ -446,17 +448,23 @@ def main(argv=None):
     ing.add_argument("--tiles_file", default=None)
     ing.add_argument("--chip_size_meters", type=float, default=5000.0)
     ing.add_argument("--dest_dir", required=True)
-    ing.add_argument("--n_partitions", type=int, default=64)
+    ing.add_argument("--n_partitions", type=int, default=0,
+                 help="0 = derive from input size (~1 GB/partition)")
     ing.set_defaults(fn=cmd_ingest)
 
     a = p.parse_args(argv)
+    import ray
+
+    # own the session ONLY if we created it: an embedding process (pytest,
+    # the driver) keeps its session — shutting a shared session down here
+    # makes the next Ray call silently auto-init a default-sized cluster
+    created = not ray.is_initialized()
     _ray_session()
     try:
         a.fn(a)
     finally:
-        import ray
-
-        ray.shutdown()
+        if created:
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -26,17 +26,48 @@ import ray.data
 
 # The fast hash-shuffle dedup path relies on repartition(keys=[...]) emitting
 # exactly ONE block per hash partition, so a whole-block map_batches sees every
-# row of a key together. That holds in these Ray releases (hash-shuffle
-# finalize does not yet split partitions into target-size blocks); a future
-# Ray may split large partitions, which would let same-key rows span blocks
-# and silently survive dedup. On an unknown version we fall back to the
-# groupby().map_groups path, which is correct by contract on any version.
-_HASH_PARTITION_IS_ONE_BLOCK_VERSIONS = ("2.49.",)
+# row of a key together. A future Ray may split large partitions into
+# target-size blocks, which would let same-key rows span blocks and silently
+# survive dedup. Instead of sniffing version strings, the invariant itself is
+# probed at runtime ONCE per process (a canary repartition of a few thousand
+# rows, ~100 ms): if any bucket value appears in more than one output block,
+# the fast path is disabled and dedup falls back to groupby().map_groups,
+# which is correct by contract on any version.
+_HASH_ONE_BLOCK_PROBE: bool | None = None
 
 
 def _hash_partition_is_one_block() -> bool:
-    import ray
-    return ray.__version__.startswith(_HASH_PARTITION_IS_ONE_BLOCK_VERSIONS)
+    global _HASH_ONE_BLOCK_PROBE
+    if _HASH_ONE_BLOCK_PROBE is None:
+        import uuid
+
+        import pyarrow.compute as pc
+
+        nb = 4
+        # 8 input blocks built directly (NOT via .repartition(8): under the
+        # hash strategy that would spawn its own aggregator wave) — several
+        # blocks so the keyed exchange below is real
+        canary = ray.data.from_arrow([
+            pa.table({"__bucket": pa.array(
+                np.arange(i, 4096, 8) % nb, type=pa.int64())})
+            for i in range(8)])
+
+        def tag(batch: pa.Table) -> pa.Table:
+            # batch_size=None ⇒ one call per OUTPUT BLOCK
+            tok = uuid.uuid4().hex
+            vals = pc.unique(batch["__bucket"].combine_chunks())
+            return pa.table({"tok": pa.array([tok] * len(vals)),
+                             "bucket": vals})
+
+        rows = canary.repartition(nb, keys=["__bucket"]) \
+            .map_batches(tag, batch_size=None, batch_format="pyarrow") \
+            .take_all()
+        blocks_of: dict[int, set] = {}
+        for r in rows:
+            blocks_of.setdefault(r["bucket"], set()).add(r["tok"])
+        _HASH_ONE_BLOCK_PROBE = (len(blocks_of) == nb and
+                                 all(len(s) == 1 for s in blocks_of.values()))
+    return _HASH_ONE_BLOCK_PROBE
 
 
 def dedup_exact(
@@ -110,12 +141,17 @@ def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
     never lose a duplicate (same key ⇒ same hash).
 
     reduce="range" (default): two-stage task shuffle — each per-block
-    partial is emitted SORTED, and one remote task per hash range slices
-    its range out of every partial (searchsorted, zero-copy plasma reads
-    on-node) and folds it independently. No aggregator actors, no
-    single-threaded driver fold (the driver fold was the worst-scaling
-    leg of the flagship: 6.6 s @8 → 4.0 s @32, eff 0.41). The driver only
-    concatenates the per-range duplicate lists (~|dup keys| total).
+    partial is emitted SORTED (np.unique), a split wave pre-buckets every
+    partial by hash range (one task per partial block, searchsorted slice,
+    ``num_returns=nranges`` so each range slice is its OWN object), and
+    one fold task per range fetches only its range's slices and folds them
+    independently. Network bytes are O(total partial bytes) — each slice
+    crosses the wire once — not O(nranges × partials) as a fold where
+    every range task pulls every whole partial would be. No aggregator
+    actors, no single-threaded driver fold (the driver fold was the
+    worst-scaling leg of the flagship: 6.6 s @8 → 4.0 s @32, eff 0.41).
+    The driver only concatenates the per-range duplicate lists
+    (~|dup keys| total).
     reduce="driver": the old serial fold (small inputs). reduce="shuffle":
     Ray groupby (when even the per-range fold wouldn't fit one worker)."""
     import ray
@@ -141,30 +177,37 @@ def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
         ncores = int(ray.cluster_resources().get("CPU", 8))
         nranges = max(4, min(64, ncores))
         step = (1 << 64) // nranges
-        bounds = [np.uint64(i * step) for i in range(nranges)] \
-            + [np.uint64((1 << 64) - 1)]
+        cuts = np.array([(i + 1) * step for i in range(nranges - 1)],
+                        dtype=np.uint64)
+
+        # split wave: one cheap task per partial block, co-located with it
+        # (the block ref is the arg, so Ray schedules on its node); slices
+        # are separate return objects, so fold task r pulls ONLY range r
+        @ray.remote(num_cpus=0.5)
+        def split_partial(t):
+            h = t["__h"].to_numpy()
+            c = t["__partial"].to_numpy()
+            idx = np.searchsorted(h, cuts)
+            # .copy(): ship the slice, not a view pinning the whole block
+            return tuple((hs.copy(), cs.copy())
+                         for hs, cs in zip(np.split(h, idx), np.split(c, idx)))
+
+        srefs = [split_partial.options(num_returns=nranges).remote(r)
+                 for r in refs]
 
         @ray.remote(num_cpus=1)
-        def fold_range(lo, hi, last, *tables):
-            hs, cs = [], []
-            for t in tables:
-                h = t["__h"].to_numpy()
-                c = t["__partial"].to_numpy()
-                s = np.searchsorted(h, lo)
-                e = np.searchsorted(h, hi, side="right" if last else "left")
-                hs.append(h[s:e]); cs.append(c[s:e])
-            h = np.concatenate(hs)
+        def fold_range(*slices):
+            h = np.concatenate([s[0] for s in slices])
             if not len(h):
                 return np.empty(0, dtype=np.uint64)
-            c = np.concatenate(cs)
+            c = np.concatenate([s[1] for s in slices])
             uniq, inv = np.unique(h, return_inverse=True)
             totals = np.bincount(inv, weights=c.astype(np.float64))
             return uniq[totals >= 2]
 
         outs = ray.get([
-            fold_range.remote(bounds[i], bounds[i + 1], i == nranges - 1,
-                              *refs)
-            for i in range(nranges)])
+            fold_range.remote(*[srefs[b][r] for b in range(len(refs))])
+            for r in range(nranges)])
         return ray.put(np.concatenate(outs))
     # driver fold on raw uint64 arrays (np.unique + bincount) — ~6x faster
     # than a pandas groupby at millions of keys; the driver only ever holds

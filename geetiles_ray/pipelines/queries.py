@@ -1192,6 +1192,15 @@ WITH RECURSIVE corpus AS (
 ), grams AS (
   SELECT DISTINCT doc_id, SUM(v) & {MASK}::HUGEINT AS g
   FROM contrib GROUP BY doc_id, s
+  UNION
+  -- texts shorter than the shingle width hash as ONE whole-text FNV fold
+  -- (mirrors _hash_char_shingles' short-text fallback, neardup.py)
+  SELECT doc_id, list_reduce(
+    list_prepend(1469598103934665603::HUGEINT,
+      list_transform(range(1, length(text)+1),
+        i -> CAST(unicode(substring(text, i, 1)) AS HUGEINT))),
+    (h, c) -> (xor(h, c) * {MIX}::HUGEINT) & {MASK}::HUGEINT) AS g
+  FROM corpus WHERE length(text) < 5
 ), raw AS (
   SELECT doc_id, p.p, (g * p.a + p.b) & {MASK}::HUGEINT AS y
   FROM grams CROSS JOIN (VALUES {perms}) AS p(p, a, b)
@@ -1216,6 +1225,12 @@ WITH RECURSIVE corpus AS (
          substr(text, unnest(range(1, length(text) - 3)), 5) AS g
   FROM corpus
   WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+  UNION
+  -- short-text fallback shingle set = {{whole text}} (exact_jaccard's
+  -- ``{{t}}`` branch), so verification can't diverge on tiny docs either
+  SELECT doc_id, text AS g FROM corpus
+  WHERE length(text) < 5
+    AND doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
 ), ga AS (
   SELECT c.id_a, c.id_b, s.g FROM cand c JOIN gstr s ON s.doc_id = c.id_a
 ), gb AS (

@@ -27,6 +27,16 @@ except ImportError:
     _HAVE_PIL = False
 
 
+def _decode_image_real(blob: bytes, hw=(32, 32)) -> np.ndarray:
+    """PIL decode → RGB → resize to (h, w). Only reachable when PIL imports
+    (``_HAVE_PIL``); kept separate so tests can monkeypatch the dispatch."""
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(blob)).convert("RGB").resize((hw[1], hw[0]))
+    return np.asarray(img, dtype=np.uint8).reshape(hw[0], hw[1], 3)
+
+
 def _decode_image_fake(blob: bytes, hw=(32, 32)) -> np.ndarray:
     """Deterministic stand-in decoder: pseudo-pixel i is the top byte of
     seed·(i+1) mod 2⁶⁴, seed = first 8 bytes (big-endian) of the blob's
@@ -59,7 +69,8 @@ class DecodeImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.blob_col].to_pylist()
-        arrs = [_decode_image_fake(b, self.hw) for b in blobs]
+        decode = _decode_image_real if self.real else _decode_image_fake
+        arrs = [decode(b, self.hw) for b in blobs]
         cols = {name: batch[name] for name in batch.column_names}
         cols[self.out_col] = pa.array([a.tobytes() for a in arrs], type=pa.binary())
         cols["height"] = pa.array([self.hw[0]] * len(blobs), type=pa.int32())

@@ -24,12 +24,26 @@ import hashlib
 import json
 import os
 import time
+import warnings
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 import ray.data
 
 ENGINE_VERSION = "0.1.0"
+
+# each partition arrives at its writer as ONE in-memory table (map_groups),
+# so partition size is the memory contract of this sink
+TARGET_PARTITION_BYTES = 1 << 30
+
+
+def derive_n_partitions(est_bytes: int, target_bytes: int = TARGET_PARTITION_BYTES,
+                        min_parts: int = 1) -> int:
+    """Partition count so each partition lands ≤ ``target_bytes`` (the
+    map_groups writer holds one full partition in heap), floored at
+    ``min_parts`` (usually cluster CPUs, for write parallelism)."""
+    return max(int(min_parts), 1, -(-int(est_bytes) // max(int(target_bytes), 1)))
 
 
 def partition_of_key(keys, n_partitions: int):
@@ -67,8 +81,9 @@ def checkpointed_write(
     ds: ray.data.Dataset,
     out_dir: str,
     key_col: str,
-    n_partitions: int = 64,
+    n_partitions: int | None = None,
     transform=None,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
 ) -> dict:
     """Write ``ds`` (optionally through ``transform(ds_partition_batch)``)
     as ``{out_dir}/part={pid}/data.parquet`` with per-partition manifests,
@@ -78,9 +93,27 @@ def checkpointed_write(
     Partitioning is a groupby on the stable key hash — each group is one
     partition, processed and persisted independently, so a killed run
     resumes at partition granularity (FIXTURES.md invariant 5).
-    """
+
+    ``n_partitions=None`` derives the count from the input's in-memory
+    size so each partition (held whole by its map_groups writer) stays
+    ≤ ``target_partition_bytes``; sizing materializes the input first (the
+    blocks feed the groupby, nothing recomputes — but they become
+    object-store-resident, so for inputs far beyond cluster memory pass an
+    explicit ``n_partitions`` and keep the pipeline streaming). RESUME
+    CONTRACT: pass the same explicit n_partitions as the original run —
+    the key→partition map depends on it, and auto-derivation on a grown
+    input would remap keys and rewrite everything.
+    Any partition arriving >2× the target raises a skew warning with the
+    offending pid (hot-key diagnosis, not silent OOM)."""
     os.makedirs(out_dir, exist_ok=True)
     existing = load_manifests(out_dir)
+    if n_partitions is None:
+        ds = ds.materialize()
+        est = ds.size_bytes() or 0
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_partitions = derive_n_partitions(est, target_partition_bytes,
+                                           min_parts=ncpu)
 
     def add_pid(batch: pa.Table) -> pa.Table:
         pid = partition_of_key(batch[key_col].to_pylist(), n_partitions)
@@ -97,6 +130,7 @@ def checkpointed_write(
                 and prev.get("status") == "done":
             return pa.table({"partition": pa.array([pid]),
                              "rows": pa.array([prev["rows"]]),
+                             "bytes": pa.array([int(prev.get("bytes", 0))]),
                              "skipped": pa.array([True])})
         t0 = time.time()
         if transform is not None:
@@ -110,6 +144,7 @@ def checkpointed_write(
             "partition": pid,
             "input_fingerprint": fp,
             "rows": table.num_rows,
+            "bytes": table.nbytes,
             "status": "done",
             "wall_sec": round(time.time() - t0, 4),
             "engine_version": ENGINE_VERSION,
@@ -121,15 +156,26 @@ def checkpointed_write(
         os.replace(mtmp, manifest_path(out_dir, pid))
         return pa.table({"partition": pa.array([pid]),
                          "rows": pa.array([table.num_rows]),
+                         "bytes": pa.array([table.nbytes]),
                          "skipped": pa.array([False])})
 
     res = ds.map_batches(add_pid, batch_format="pyarrow") \
         .groupby("__pid").map_groups(write_partition, batch_format="pandas") \
         .to_pandas()
+    fat = res[res.bytes > 2 * target_partition_bytes]
+    if len(fat):
+        warnings.warn(
+            f"checkpointed_write: {len(fat)} partition(s) exceed 2x the "
+            f"{target_partition_bytes}-byte target (max "
+            f"{int(fat.bytes.max())} B, pid "
+            f"{int(fat.loc[fat.bytes.idxmax(), 'partition'])}); "
+            f"raise n_partitions or check for hot keys", stacklevel=2)
     return {
         "written": sorted(res[~res.skipped].partition.tolist()),
         "skipped": sorted(res[res.skipped].partition.tolist()),
         "total_rows": int(res.rows.sum()),
+        "n_partitions": n_partitions,
+        "max_partition_bytes": int(res.bytes.max()) if len(res) else 0,
     }
 
 

@@ -44,8 +44,15 @@ class _MetricsActor:
 
 
 def _handle():
+    # session-scoped (NOT detached): a live view only needs to outlive the
+    # stages, not the driver — detached actors leak on shared clusters.
+    # OWNERSHIP CAVEAT: a named non-detached actor is owned by whichever
+    # process creates it; if that's a transient Ray worker (a stage actor
+    # calling StageMetrics first), the counter actor dies with it. Driver
+    # entry points therefore create it up front (reset()/snapshot() before
+    # the pipeline), and StageMetrics re-resolves once on a dead handle.
     return _MetricsActor.options(
-        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached").remote()
+        name=_ACTOR_NAME, get_if_exists=True).remote()
 
 
 class StageMetrics:
@@ -69,6 +76,9 @@ class StageMetrics:
 
     def flush(self) -> None:
         if self.buf:
+            # fire-and-forget: a dead target surfaces nowhere here (the
+            # increments are lost), which a live progress view tolerates;
+            # driver-side snapshot()/reset() recreate a dead actor
             self.actor.inc.remote(dict(self.buf))
             self.buf.clear()
         self.pending = 0
@@ -80,12 +90,28 @@ class StageMetrics:
             pass
 
 
+def _call(method: str):
+    """Driver-side actor call that survives a dead named actor: if the
+    registered actor's owner died (ownership caveat in _handle), kill the
+    dead registration so ``get_if_exists`` creates a fresh, driver-owned
+    one, and retry once."""
+    h = _handle()
+    try:
+        return ray.get(getattr(h, method).remote())
+    except ray.exceptions.RayActorError:
+        try:
+            ray.kill(h)  # purges the name registration
+        except Exception:
+            pass
+        return ray.get(getattr(_handle(), method).remote())
+
+
 def snapshot() -> dict:
     """Consistent read of all counters (drains in-flight increments only
     up to actor-arrival order — callers polling progress don't need a
     barrier)."""
-    return ray.get(_handle().snapshot.remote())
+    return _call("snapshot")
 
 
 def reset() -> None:
-    ray.get(_handle().reset.remote())
+    _call("reset")

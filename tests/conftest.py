@@ -12,6 +12,11 @@ def ray_session():
              ignore_reinit_error=True, logging_level="ERROR")
     from geetiles_ray.ray_tuning import tune
     tune(4)
+    # create the named metrics actor DRIVER-owned up front: created lazily
+    # from inside a transient map worker it would die with that worker
+    # (ownership caveat in state/metrics._handle)
+    from geetiles_ray.state import metrics as _metrics
+    _metrics.reset()
     yield
     ray.shutdown()
 

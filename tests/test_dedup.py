@@ -50,6 +50,53 @@ class TestDedupExact:
             ctx.shuffle_strategy = old
         pd.testing.assert_frame_equal(got[want.columns], want)
 
+    def test_one_block_probe_true_under_hash_strategy(self):
+        # under the pinned Ray + hash strategy the canary probe must pass
+        # (i.e. the fast path is actually exercised, not silently skipped)
+        ctx = DataContext.get_current()
+        old = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            dedupmod._HASH_ONE_BLOCK_PROBE = None  # force a fresh probe
+            assert dedupmod._hash_partition_is_one_block() is True
+        finally:
+            ctx.shuffle_strategy = old
+            dedupmod._HASH_ONE_BLOCK_PROBE = None
+
+    def test_forced_fallback_routes_to_groupby_plan(self, monkeypatch):
+        # a failing probe (future Ray splitting hash partitions) must route
+        # to the groupby path even under HASH_SHUFFLE. Asserted on the
+        # LOGICAL PLAN without executing: running a hash-strategy groupby
+        # in this 4-CPU test session starves on aggregator actors (the
+        # documented tiny-session pathology), and the fallback plan's
+        # dedup correctness is already covered by test_sort_path_matches_
+        # pandas (identical code path under the sort strategy).
+        ctx = DataContext.get_current()
+        old = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            ds = _pages_with_cross_block_dups()
+            monkeypatch.setattr(dedupmod, "_HASH_ONE_BLOCK_PROBE", True)
+            fast = dedupmod.dedup_exact(ds, key="url", order_col="warc_ts")
+            monkeypatch.setattr(dedupmod, "_HASH_ONE_BLOCK_PROBE", False)
+            slow = dedupmod.dedup_exact(ds, key="url", order_col="warc_ts")
+        finally:
+            ctx.shuffle_strategy = old
+        assert fast._logical_plan.dag.name == "MapBatches(per_block)"
+        assert slow._logical_plan.dag.name == "MapBatches(per_bucket)"
+
+    def test_dup_key_set_range_matches_driver(self):
+        # the pre-bucketed split+fold range reduce must produce the exact
+        # same (sorted) broadcast duplicate-hash set as the serial driver
+        # fold, on a corpus whose dups straddle blocks
+        ds = _pages_with_cross_block_dups()
+        a = ray.get(dedupmod.dup_key_set(ds, "url", reduce="range"))
+        b = ray.get(dedupmod.dup_key_set(ds, "url", reduce="driver"))
+        assert a.dtype == np.uint64 and b.dtype == np.uint64
+        assert len(a) > 0
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, np.sort(a))
+
     def test_multi_key(self):
         df = pd.DataFrame({"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"],
                            "v": [5, 3, 9, 1, 7]})

@@ -33,6 +33,28 @@ class TestCheckpointedWrite:
         back = mf.read_checkpointed(out).to_pandas().sort_values("val")
         assert back.val.tolist() == list(range(500))
 
+    def test_derive_n_partitions_sizing_rule(self):
+        # ≤ target bytes per partition, floored at min_parts
+        assert mf.derive_n_partitions(0, 1 << 30, min_parts=4) == 4
+        assert mf.derive_n_partitions(10 << 30, 1 << 30, min_parts=4) == 10
+        assert mf.derive_n_partitions((10 << 30) + 1, 1 << 30, 4) == 11
+        assert mf.derive_n_partitions(100 << 40, 1 << 30, 4) == 100 << 10
+        assert mf.derive_n_partitions(5, 1 << 30, 1) == 1
+
+    def test_auto_partitions_and_skew_warning(self, corpus, tmp_path):
+        ds = ray.data.from_pandas(corpus)
+        out = str(tmp_path / "auto")
+        # tiny input: auto floors at cluster CPUs (4 in the test session)
+        r = mf.checkpointed_write(ds, out, "url")
+        assert r["n_partitions"] == 4
+        assert sorted(r["written"]) == [0, 1, 2, 3]
+        assert r["max_partition_bytes"] > 0
+        # a partition > 2x target triggers the skew warning, naming a pid
+        out2 = str(tmp_path / "skew")
+        with pytest.warns(UserWarning, match="exceed 2x"):
+            mf.checkpointed_write(ds, out2, "url", n_partitions=2,
+                                  target_partition_bytes=64)
+
     def test_partial_resume_recomputes_only_missing(self, corpus, tmp_path):
         ds = ray.data.from_pandas(corpus)
         out = str(tmp_path / "out")

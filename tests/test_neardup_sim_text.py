@@ -41,7 +41,7 @@ class TestMinHashLSH:
     def test_minhash_jaccard_estimate(self):
         a, b = "the quick brown fox jumps over the lazy dog " * 5, \
                "the quick brown fox jumped over the lazy dog " * 5
-        sh = neardup._hash_shingles([a, b], 5)
+        sh = neardup._hash_char_shingles([a, b], 5)
         pa_, pb_ = neardup._perm_params(256)
         sa = neardup.minhash_signature(sh[0], pa_, pb_)
         sb = neardup.minhash_signature(sh[1], pa_, pb_)
@@ -75,6 +75,34 @@ class TestMinHashLSH:
         out = neardup.dedup_minhash_dist(
             ray.data.from_pandas(df), "doc_id", "text")
         assert len(out) == 0
+
+    def test_sql_twin_short_text_parity(self, tmp_path):
+        # texts shorter than the 5-char shingle hash as a whole-text FNV
+        # fold in Python; the SQL twin's grams/gstr short-text branches
+        # must replay that, so a short-text dup pair appears in BOTH
+        import duckdb
+
+        from geetiles_ray.pipelines.queries import (SQL_MINHASH_GROUPS,
+                                                    q_minhash_groups)
+        long1 = "the quick brown fox jumps over the lazy dog " * 8
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 6, 7],
+            "text": [long1, "ab", "ab", "xyz", "", ""],
+        })
+        df.to_parquet(tmp_path / "documents.parquet")
+        got = q_minhash_groups(str(tmp_path)) \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS "
+                    f"SELECT * FROM parquet_scan('{tmp_path}/documents.parquet')")
+        want = con.execute(SQL_MINHASH_GROUPS).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con.close()
+        gmap = dict(zip(got.doc_id, got.group_id))
+        assert gmap.get(2) == 1          # short-text dup found by the Ray path
+        assert gmap.get(7) == 6          # empty-text dup too
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False)
 
     def test_char_shingle_jaccard_matches_exact(self):
         df = _dup_corpus()
@@ -287,3 +315,36 @@ class TestMultimodal:
     def test_require_real_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.DecodeImages(require_real=True)
+
+    def test_real_dispatch_when_pil_present(self, monkeypatch):
+        # with PIL "available", require_real=True must route through
+        # _decode_image_real (not silently return fake pixels) and mark
+        # rows decoder='real'
+        calls = []
+
+        def fake_real_decode(blob, hw):
+            calls.append(blob)
+            return np.full((hw[0], hw[1], 3), 7, dtype=np.uint8)
+
+        monkeypatch.setattr(multimodal, "_HAVE_PIL", True)
+        monkeypatch.setattr(multimodal, "_decode_image_real", fake_real_decode)
+        dec = multimodal.DecodeImages(require_real=True, hw=(4, 4))
+        out = dec(pa.table({"payload": pa.array([b"xx", b"yy"],
+                                                type=pa.binary())}))
+        assert len(calls) == 2
+        assert out["decoder"].to_pylist() == ["real", "real"]
+        assert np.frombuffer(out["pixels"][0].as_py(),
+                             dtype=np.uint8).tolist() == [7] * 48
+
+    def test_fake_dispatch_without_require_real(self, monkeypatch):
+        # even with PIL present, require_real=False keeps the deterministic
+        # fake (the SQL-oracle contract depends on it)
+        monkeypatch.setattr(multimodal, "_HAVE_PIL", True)
+        monkeypatch.setattr(
+            multimodal, "_decode_image_real",
+            lambda blob, hw: (_ for _ in ()).throw(AssertionError("real called")))
+        dec = multimodal.DecodeImages(require_real=False, hw=(4, 4))
+        out = dec(pa.table({"payload": pa.array([b"xx"], type=pa.binary())}))
+        assert out["decoder"].to_pylist() == ["fake"]
+        want = multimodal._decode_image_fake(b"xx", (4, 4)).tobytes()
+        assert out["pixels"][0].as_py() == want
