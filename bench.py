@@ -33,7 +33,11 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "token_stats", "knn_pages",
                  # round-2 operators
                  "dedup_events_broadcast", "orders_customer_join",
-                 "embedding_neardup", "ann_topk"]
+                 "embedding_neardup", "ann_topk",
+                 # round-3 operators
+                 "asof_join_events", "purchase_window_events",
+                 "top_orders_per_customer", "price_quantiles",
+                 "top_tokens", "stratified_sample"]
 
 
 def host_probe() -> dict:

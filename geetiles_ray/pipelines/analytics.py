@@ -1,0 +1,260 @@
+"""Analytics operators for training-data curation at scale: group-wise
+top-N, exact distributed quantiles, heavy-hitter tokens, deterministic
+stratified sampling.
+
+Shared scale discipline: every operator is combiner-shaped — a map-side
+pass shrinks each block to O(keys · N) / O(bins) / O(k) rows before
+anything moves, so the one exchange (or driver fold) sees partials, never
+the corpus. Sampling has no exchange at all (pure map filter)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .dedup import _finalize_partials
+
+_MIX = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (splitmix64's golden gamma)
+_M64 = (1 << 64) - 1
+
+
+# ------------------------------------------------------------ grouped top-N
+
+def _topn_kernel(df: pd.DataFrame, keys: list[str], order_col: str, n: int,
+                 ascending: bool, tiebreak: str | None,
+                 with_rank: bool) -> pd.DataFrame:
+    """Vectorized per-frame top-N per key: one stable sort + cumcount.
+    Deterministic: ties on ``order_col`` break by ascending ``tiebreak``."""
+    sort_cols = keys + [order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True] * len(keys) + [ascending] + ([True] if tiebreak else [])
+    d = df.sort_values(sort_cols, ascending=asc, kind="mergesort")
+    r = d.groupby(keys, sort=False, dropna=False).cumcount().to_numpy()
+    keep = r < n
+    d = d[keep]
+    if with_rank:
+        d = d.assign(rank=(r[keep] + 1).astype("int64"))
+    return d
+
+
+def grouped_topn(ds: ray.data.Dataset, keys: list[str], order_col: str,
+                 n: int, ascending: bool = False, tiebreak: str | None = None,
+                 nbuckets: int = 32) -> ray.data.Dataset:
+    """Top-``n`` rows per key group ordered by ``order_col`` (desc by
+    default), with a 1-based ``rank`` column. The SQL twin is
+    ``row_number() OVER (PARTITION BY keys ORDER BY ...) <= n``.
+
+    Plan: map-side prune (each block keeps ≤ n rows per key it holds — the
+    combiner; a key spread over B blocks contributes ≤ n·B rows to the
+    exchange, not its full group) → co-locate by key-hash bucket → final
+    prune + rank per bucket. No global sort, no window shuffle."""
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return _topn_kernel(df, keys, order_col, n, ascending, tiebreak,
+                            with_rank=False)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_array(
+                np.asarray(batch[k].to_pylist(), dtype=object)) \
+                * np.uint64(_MIX)
+        b = (h % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = _topn_kernel(df, keys, order_col, n, ascending, tiebreak,
+                           with_rank=True)
+        return out.drop(columns="__bucket")
+
+    return pruned.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+# --------------------------------------------------------- exact quantiles
+
+def _bin_of(v: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Bin index under half-open [e_i, e_{i+1}) bins, last bin closed.
+    Shared by the histogram pass and the candidate-bin filter so the two
+    can never disagree on a boundary value."""
+    return np.clip(np.searchsorted(edges, v, side="right") - 1,
+                   0, len(edges) - 2)
+
+
+def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
+                    nbins: int = 4096, cap: int = 4_000_000,
+                    _depth: int = 0) -> pd.DataFrame:
+    """EXACT discrete quantiles of a numeric column without a global sort:
+    value = the element at 0-based rank ceil(q·n)−1 of the ascending order
+    (DuckDB ``quantile_disc`` semantics — the SQL twin).
+
+    Three streaming passes over a single-column scan, O(nbins) driver state:
+      A. per-block (min, max, count) partials → global range;
+      B. per-block equi-width histogram partials (combiner: ≤ nbins rows
+         per block) → cumulative counts locate each target rank's bin;
+      C. fetch ONLY the candidate bins' values (expected n/nbins each) and
+         index the exact rank inside. A bin still bigger than ``cap``
+         (pathological skew) recurses with the bin as the new range —
+         every level divides the range by nbins, and an equal-value mass
+         terminates via the lo == hi fast path.
+    At 10¹² rows this moves ≤ blocks·nbins histogram rows plus a few
+    n/nbins value slices — versus a full all-to-all for sort-based rank."""
+    nulls_dropped = ds.select_columns([col])
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy()
+        if not len(v):
+            return pa.table({"lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"lo": [float(v.min())], "hi": [float(v.max())],
+                         "n": [int(len(v))]})
+
+    stats = nulls_dropped.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if not len(stats) or stats.n.sum() == 0:
+        return pd.DataFrame({"q": qs, "value": [np.nan] * len(qs)})
+    lo, hi, n = float(stats.lo.min()), float(stats.hi.max()), int(stats.n.sum())
+    ranks = {q: max(int(np.ceil(q * n)), 1) for q in qs}
+    return _quantiles_in_range(nulls_dropped, col, ranks, lo, hi, n,
+                               nbins, cap, _depth)
+
+
+def _quantiles_in_range(s: ray.data.Dataset, col: str, ranks: dict,
+                        lo: float, hi: float, n: int, nbins: int, cap: int,
+                        depth: int) -> pd.DataFrame:
+    if lo == hi:  # single value (or an equal-value mass during recursion)
+        return pd.DataFrame({"q": list(ranks), "value": [lo] * len(ranks)})
+    edges = np.linspace(lo, hi, nbins + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy()
+        v = v[(v >= lo) & (v <= hi)]
+        if not len(v):
+            return pa.table({"bin": pa.array([], type=pa.int64()),
+                             "__partial": pa.array([], type=pa.int64())})
+        c = np.bincount(_bin_of(v, edges), minlength=nbins)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bin": pa.array(nz, type=pa.int64()),
+                         "__partial": pa.array(c[nz], type=pa.int64())})
+
+    partial = s.map_batches(hist, batch_format="pyarrow")
+    counts = _finalize_partials(partial, ["bin"], "n", "driver").to_pandas()
+    full = np.zeros(nbins, dtype=np.int64)
+    full[counts.bin.to_numpy()] = counts.n.to_numpy()
+    cum = np.cumsum(full)
+
+    out_q, out_v = [], []
+    by_bin: dict[int, list] = {}
+    for q, r in ranks.items():
+        b = int(np.searchsorted(cum, r, side="left"))
+        by_bin.setdefault(b, []).append((q, r - (int(cum[b - 1]) if b else 0)))
+    for b, wants in by_bin.items():
+        blo, bhi = edges[b], edges[b + 1]
+        bn = int(full[b])
+        if bn > cap and depth < 8:
+            sub = _quantiles_in_range(
+                s, col, {q: off for q, off in wants},
+                blo, bhi if b == nbins - 1 else np.nextafter(bhi, blo),
+                bn, nbins, cap, depth + 1)
+            out_q.extend(sub.q.tolist())
+            out_v.extend(sub.value.tolist())
+            continue
+
+        def grab(batch: pa.Table, _b=b) -> pa.Table:
+            v = batch[col].drop_null().to_numpy()
+            v = v[(v >= lo) & (v <= hi)]
+            return pa.table({"v": v[_bin_of(v, edges) == _b]})
+
+        vals = np.sort(np.concatenate([
+            t["v"].to_numpy() for t in
+            s.map_batches(grab, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")] or [np.empty(0)]))
+        for q, off in wants:
+            out_q.append(q)
+            out_v.append(float(vals[off - 1]))
+    return pd.DataFrame({"q": out_q, "value": out_v}) \
+        .sort_values("q").reset_index(drop=True)
+
+
+# ----------------------------------------------------------- heavy hitters
+
+from .text import TOKEN_STRIP  # noqa: E402 — the LangId tokenizer's strip set
+
+
+def top_tokens(ds: ray.data.Dataset, text_col: str = "text", k: int = 50,
+               reduce: str = "driver") -> pd.DataFrame:
+    """Exact top-``k`` most frequent tokens corpus-wide (tokens = lowercase
+    whitespace-split words with edge punctuation stripped — the LangId
+    tokenizer, so the SQL twin is shared). Deterministic order:
+    (count desc, token asc), 1-based rank.
+
+    Plan: per-block value_counts (combiner — ≤ block-vocab rows leave each
+    block) → per-token fold (driver for small vocabs, reduce="shuffle" for
+    a corpus-scale vocabulary) → per-block exact local top-k (each token
+    lives in ONE block post-fold, so local top-k is globally safe) → driver
+    merges ≤ blocks·k rows. The corpus never moves; the vocabulary does,
+    pre-aggregated."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        vc = toks[(toks != "") & toks.notna()].value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "__partial": vc.to_numpy().astype("int64")})
+
+    partial = ds.select_columns([text_col]).map_batches(
+        local, batch_format="pandas")
+    counts = _finalize_partials(partial, ["token"], "n", reduce)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    merged = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = merged.sort_values(["n", "token"], ascending=[False, True],
+                             kind="mergesort").head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+# ------------------------------------------------------ stratified sampling
+
+def sample_threshold(num: int, den: int) -> int:
+    """Exact integer acceptance threshold for rate num/den over a uniform
+    uint64 hash: keep iff h < (num << 64) // den. Both the numpy filter and
+    the HUGEINT SQL twin use this same integer, so the sample is
+    bit-reproducible across engines."""
+    if not (0 <= num <= den) or den <= 0:
+        raise ValueError("rate must be in [0, 1]")
+    return (num << 64) // den
+
+
+def stratified_sample(ds: ray.data.Dataset, key_col: str, strata_col: str,
+                      rates: dict[str, tuple[int, int]],
+                      default_rate: tuple[int, int] = (0, 1)) -> ray.data.Dataset:
+    """Deterministic per-stratum hash sample: keep a row iff
+    ``(key+1)·MIX mod 2⁶⁴ < threshold(stratum)`` with ``rates`` given as
+    exact fractions per stratum value. Pure map filter — no exchange, no
+    RNG state, resumable by construction (the same row is always in or
+    out), which is what a 100-TB curation pipeline needs from sampling.
+    ``key_col`` must be integer-valued (doc ids); strings should be hashed
+    to int upstream (functions/hashing)."""
+    thresholds = {s: sample_threshold(*r) for s, r in rates.items()}
+    default_t = sample_threshold(*default_rate)
+    # rate 1 → threshold 2^64 overflows uint64; split into a clamped uint64
+    # threshold + a keep-all flag, both mapped per stratum (no object-dtype
+    # bigint arrays in the hot path)
+    thr64 = {s: min(t, _M64) for s, t in thresholds.items()}
+    is_full = {s: t > _M64 for s, t in thresholds.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[key_col].to_numpy().astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(_MIX)
+        t = df[strata_col].map(thr64).fillna(min(default_t, _M64)) \
+            .astype(np.uint64).to_numpy()
+        full = df[strata_col].map(is_full).fillna(default_t > _M64) \
+            .astype(bool).to_numpy()
+        return df[full | (h < t)]
+
+    return ds.map_batches(keep, batch_format="pandas")

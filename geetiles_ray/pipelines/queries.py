@@ -1444,6 +1444,260 @@ ORDER BY d.doc_id
 """
 
 
+def q_asof_join_events(sf_dir: str):
+    """As-of join (stages/temporal.py): each purchase matched to the same
+    user's most recent click at-or-before it (ties → greatest click id).
+    Inner semantics: purchases with no prior click are dropped. Oracled by
+    a window-function SQL replay (DuckDB's ASOF JOIN leaves equal-timestamp
+    ties unspecified; the row_number twin pins them)."""
+    from ..stages import temporal as temporalmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"], "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "ts_us": pa.array(batch["ts"].to_numpy().astype(np.int64)),
+            "value": batch["value"]})
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "click_id": batch["event_id"], "user_id": batch["user_id"],
+            "click_ts": batch["ts"],
+            "click_ts_us": pa.array(batch["ts"].to_numpy().astype(np.int64)),
+            "click_value": batch["value"]})
+
+    left = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(prep_left, batch_format="pyarrow")
+    right = ev.filter(expr="event_type == 'click'") \
+        .map_batches(prep_right, batch_format="pyarrow")
+    out = temporalmod.asof_join(left, right, key="user_id", on="ts",
+                                right_on="click_ts", tiebreak="click_id") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "ts_us", "value",
+                "click_id", "click_ts_us", "click_value"]]
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.click_id, epoch_us(r.click_ts) AS click_ts_us, r.click_value
+FROM l JOIN r ON l.user_id = r.user_id AND r.click_ts <= l.ts
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l.event_id
+                           ORDER BY r.click_ts DESC, r.click_id DESC) = 1
+ORDER BY l.event_id
+"""
+
+
+def q_purchase_window_events(sf_dir: str):
+    """Interval (range) join (stages/temporal.py): every view that falls in
+    the one-hour window after a purchase by the same user. Ray plan: bin
+    decomposition turns the inequality join into a (user, hour-bin)
+    equi-join; the SQL twin is the plain range-predicate join."""
+    from ..stages import temporal as temporalmod
+
+    HOUR_US = 3_600_000_000
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def prep_points(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"], "user_id": batch["user_id"],
+            "ts_us": pa.array(batch["ts"].to_numpy().astype(np.int64))})
+
+    def prep_windows(batch: pa.Table) -> pa.Table:
+        lo = batch["ts"].to_numpy().astype(np.int64)
+        return pa.table({
+            "window_id": batch["event_id"], "user_id": batch["user_id"],
+            "lo_us": pa.array(lo), "hi_us": pa.array(lo + HOUR_US)})
+
+    points = ev.filter(expr="event_type == 'view'") \
+        .map_batches(prep_points, batch_format="pyarrow")
+    windows = ev.filter(expr="event_type == 'purchase'") \
+        .map_batches(prep_windows, batch_format="pyarrow")
+    out = temporalmod.interval_join(points, windows, key="user_id",
+                                    ts="ts_us", lo="lo_us", hi="hi_us",
+                                    bin_width=HOUR_US) \
+        .to_pandas().sort_values(["window_id", "event_id"]) \
+        .reset_index(drop=True)
+    return out[["window_id", "user_id", "event_id", "ts_us"]]
+
+
+SQL_PURCHASE_WINDOW_EVENTS = """
+WITH w AS (
+  SELECT event_id AS window_id, user_id, epoch_us(ts) AS lo_us,
+         epoch_us(ts) + 3600000000 AS hi_us
+  FROM events WHERE event_type = 'purchase'
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT w.window_id, w.user_id, p.event_id, p.ts_us
+FROM w JOIN p ON w.user_id = p.user_id
+             AND p.ts_us >= w.lo_us AND p.ts_us < w.hi_us
+ORDER BY w.window_id, p.event_id
+"""
+
+
+def q_hopping_events(sf_dir: str):
+    """Hopping-window aggregate (stages/temporal.py): events per
+    (event_type, 6-hour window hopping every 2 hours) — each event lands in
+    exactly 3 windows (flat-map expansion + the partial_counts combiner, no
+    shuffle). Tumbling (events_hourly) is the hop == length special case."""
+    from ..stages import temporal as temporalmod
+
+    HOP_US, LEN_US = 7_200_000_000, 21_600_000_000
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "ts_us": pa.array(batch["ts"].to_numpy().astype(np.int64))})
+
+    expanded = temporalmod.hopping_windows(
+        ev.map_batches(to_us, batch_format="pyarrow"), ts="ts_us",
+        length=LEN_US, hop=HOP_US, out_col="window_start_us")
+    out = dedupmod.partial_counts(expanded, ["event_type", "window_start_us"],
+                                  "n").to_pandas() \
+        .sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+    return out
+
+
+SQL_HOPPING_EVENTS = """
+SELECT event_type, (epoch_us(ts) // 7200000000 - k) * 7200000000
+         AS window_start_us,
+       COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k)
+GROUP BY event_type, window_start_us
+ORDER BY event_type, window_start_us
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Group-wise top-N (analytics.grouped_topn): each customer's 3 most
+    expensive orders with a 1-based rank — the map-side-pruned combiner
+    plan vs the SQL row_number window."""
+    from . import analytics as anmod
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = anmod.grouped_topn(orders, keys=["o_custkey"],
+                             order_col="o_totalprice", n=3,
+                             ascending=False, tiebreak="o_orderkey") \
+        .to_pandas().sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    return out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, "rank" FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
+  FROM orders
+) WHERE "rank" <= 3 ORDER BY o_custkey, "rank"
+"""
+
+
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact distributed quantiles (analytics.quantiles_exact): discrete
+    percentiles of l_extendedprice via the histogram-locate-fetch plan (no
+    global sort), matching DuckDB quantile_disc (rank ceil(q·n)−1)."""
+    from . import analytics as anmod
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    return anmod.quantiles_exact(li, "l_extendedprice", _QUANTILE_QS)
+
+
+SQL_PRICE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT {q}::DOUBLE AS q, "
+    f"quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in _QUANTILE_QS) + "\nORDER BY q"
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus-wide heavy hitters (analytics.top_tokens): exact top-50 most
+    frequent tokens over documents.text (the LangId tokenizer), order
+    (count desc, token asc)."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return anmod.top_tokens(docs, "text", k=50)
+
+
+def _sql_top_tokens() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS "rank"
+FROM counts ORDER BY n DESC, token LIMIT 50
+"""
+
+
+SQL_TOP_TOKENS = _sql_top_tokens()
+
+
+_SAMPLE_RATES = {"en": (1, 8), "es": (1, 4), "fr": (1, 4),
+                 "de": (1, 2), "zh": (1, 2)}
+
+
+def _sql_stratified_sample() -> str:
+    from . import analytics as anmod
+
+    mask = (1 << 64) - 1
+    whens = "\n         ".join(
+        f"WHEN '{s}' THEN {anmod.sample_threshold(*r)}::HUGEINT"
+        for s, r in _SAMPLE_RATES.items())
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((doc_id::HUGEINT + 1) * {anmod._MIX}::HUGEINT) & {mask}::HUGEINT <
+      CASE lang {whens}
+         ELSE 0::HUGEINT END
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language hash sampling (analytics.
+    stratified_sample): exact-fraction thresholds over a splitmix-style
+    key hash — the same integers drive the numpy filter and the HUGEINT
+    SQL twin, so the sampled set is engine-independent (resumable-pipeline
+    sampling contract)."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    out = anmod.stratified_sample(docs, key_col="doc_id", strata_col="lang",
+                                  rates=_SAMPLE_RATES) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "lang", "n_chars"]]
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1480,4 +1734,13 @@ REGISTRY = {
     "simhash_candidates": (q_simhash_candidates, SQL_SIMHASH_CANDIDATES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
+    "purchase_window_events": (q_purchase_window_events,
+                               SQL_PURCHASE_WINDOW_EVENTS),
+    "hopping_events": (q_hopping_events, SQL_HOPPING_EVENTS),
+    "top_orders_per_customer": (q_top_orders_per_customer,
+                                SQL_TOP_ORDERS_PER_CUSTOMER),
+    "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }

@@ -1,0 +1,252 @@
+"""Temporal join / window operators Ray Data lacks natively: as-of join,
+interval (range) join, hopping-window expansion.
+
+All three follow the same scale discipline as stages/joins.py: co-locate by
+a deterministic key-hash bucket (groupby on a small int column — ONE
+exchange whose traffic is the pruned join columns, never the payload), then
+a vectorized pandas/numpy kernel per bucket. No global sort, no driver-side
+row loops; skew is bounded by nbuckets and, for the interval join, by the
+bin width (a hot key still splits across time bins).
+
+Partitioning assumptions (documented per the custom-operator contract):
+- asof_join: all rows of one key land in one bucket → per-key time order is
+  established by an in-bucket sort, not a global one. A single pathological
+  key bigger than worker heap would need time-sliced sub-bucketing (the
+  interval join's bin trick); crawl-shaped keys (user, domain) are far
+  below that.
+- interval_join: matches only ever cross (key, time-bin) pairs, so both
+  sides co-locate on hash(key, bin); each point lives in exactly one bin so
+  no output dedup pass is needed. Intervals replicate to the bins they
+  cover — pick bin_us ≈ the typical interval length so that factor stays
+  O(1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd → bijective mod 2^64
+
+
+def _key_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a key column (any hashable dtype)."""
+    return pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+
+
+def _union_bucketed(left: ray.data.Dataset, right: ray.data.Dataset,
+                    bucket_of_left, bucket_of_right) -> ray.data.Dataset:
+    """Tag each side with __bucket/__side, pad to a shared schema with typed
+    nulls, union. The groupby("__bucket") downstream is the one exchange.
+    (Same skeleton as joins.join_on_identifier; the dtype-restore happens in
+    each caller's kernel because null padding upcasts ints to float64.)"""
+    def tag(side: int, bucket_of):
+        def f(batch: pa.Table) -> pa.Table:
+            b = bucket_of(batch).astype(np.int64)
+            return batch.append_column("__bucket", pa.array(b)) \
+                .append_column("__side",
+                               pa.array([side] * len(batch), type=pa.int8()))
+        return f
+
+    l_tagged = left.map_batches(tag(0, bucket_of_left), batch_format="pyarrow")
+    r_tagged = right.map_batches(tag(1, bucket_of_right), batch_format="pyarrow")
+
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+
+    def pad(missing: dict):
+        def f(batch: pa.Table) -> pa.Table:
+            out = {n: batch[n] for n in batch.column_names}
+            for n, t in missing.items():
+                out[n] = pa.nulls(len(batch), t)
+            return pa.table(out)
+        return f
+
+    l_missing = {c: t for c, t in r_schema.items() if c not in l_schema}
+    r_missing = {c: t for c, t in l_schema.items() if c not in r_schema}
+    ordered = list(l_schema) + list(l_missing) + ["__bucket", "__side"]
+    l_full = l_tagged.map_batches(pad(l_missing), batch_format="pyarrow") \
+        .select_columns(ordered)
+    r_full = r_tagged.map_batches(pad(r_missing), batch_format="pyarrow") \
+        .select_columns(ordered)
+    return l_full.union(r_full)
+
+
+def _pd_dtypes(ds: ray.data.Dataset) -> dict:
+    out = {}
+    for n, t in zip(ds.schema().names, ds.schema().types):
+        try:
+            out[n] = t.to_pandas_dtype()
+        except (NotImplementedError, pa.ArrowNotImplementedError):
+            out[n] = object
+    return out
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
+              on: str, right_on: str | None = None,
+              tiebreak: str | None = None, direction: str = "backward",
+              nbuckets: int = 32) -> ray.data.Dataset:
+    """Inner as-of join: each left row matches the right row (same ``key``)
+    with the greatest ``right_on`` ≤ ``left[on]`` (direction="backward";
+    "forward" = least ≥). Ties on equal ``right_on`` break to the greatest
+    ``tiebreak`` — pass one whenever right timestamps can repeat, or the
+    match is undefined. Lefts with no match are dropped (inner semantics —
+    they'd force nullable upcasts on every right column).
+
+    Plan: hash-bucket both sides on ``key`` (one exchange, pruned columns
+    only) → per bucket, sort right by (right_on, tiebreak) and run pandas
+    ``merge_asof(by=key)`` — C-vectorized, and its "last row wins on equal
+    on-values" rule is exactly the (ts, tiebreak)-max contract. Right
+    payload columns must not collide with left's (rename upstream)."""
+    right_on = right_on or on
+    l_names = list(left.schema().names)
+    r_names = list(right.schema().names)
+    clash = (set(l_names) & set(r_names)) - {key, on}
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {clash}; "
+                         "rename them upstream")
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    r_payload = [c for c in r_names if c not in (key, right_on)]
+    probe = r_payload[0] if r_payload else None
+    if probe is None:
+        raise ValueError("right side needs at least one payload column "
+                         "(to carry the matched right timestamp, duplicate "
+                         "it into a new column upstream)")
+
+    l_dtypes = _pd_dtypes(left)
+    r_dtypes = _pd_dtypes(right)
+
+    def b_left(batch: pa.Table) -> np.ndarray:
+        return _key_hash(batch[key]) % np.uint64(nbuckets)
+
+    unioned = _union_bucketed(left, right, b_left, b_left)
+    out_cols = l_names + r_payload
+    # typed empty frame for one-sided buckets: an object-dtype empty would
+    # make Ray's schema unification treat the block as a new schema
+    out_dtypes = {**{c: l_dtypes[c] for c in l_names},
+                  **{c: r_dtypes[c] for c in r_payload}}
+    empty = pd.DataFrame(columns=out_cols).astype(out_dtypes)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][l_names]
+        rg = g[g["__side"] == 1][[key, right_on] + r_payload]
+        if not len(lg) or not len(rg):
+            return empty.copy()
+        lg = lg.astype({c: l_dtypes[c] for c in l_names}, copy=False) \
+            .sort_values(on, kind="mergesort")
+        # ties on right_on break to the GREATEST tiebreak in both
+        # directions: merge_asof takes the LAST equal-on row backward but
+        # the FIRST forward, so the tiebreak sort flips with direction
+        sort_cols = [right_on] + ([tiebreak] if tiebreak else [])
+        asc = [True] + ([direction == "backward"] if tiebreak else [])
+        rg = rg.astype({c: r_dtypes[c] for c in [key, right_on] + r_payload},
+                       copy=False).sort_values(sort_cols, ascending=asc,
+                                               kind="mergesort")
+        if right_on != on:
+            rg = rg.rename(columns={right_on: on})
+        m = pd.merge_asof(lg, rg, on=on, by=key, direction=direction)
+        m = m.dropna(subset=[probe])
+        # NaN rows (now dropped) upcast int right columns to float64
+        return m.astype({c: r_dtypes[c] for c in r_payload}, copy=False)
+
+    return unioned.groupby("__bucket").map_groups(kernel, batch_format="pandas")
+
+
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
+                  key: str, ts: str, lo: str, hi: str, bin_width: int,
+                  nbuckets: int = 32) -> ray.data.Dataset:
+    """Inner range join: (point, interval) pairs with equal ``key`` and
+    ``lo ≤ ts < hi``. ``ts``/``lo``/``hi`` are int64 (e.g. epoch µs —
+    convert timestamps upstream); ``bin_width`` is in the same unit.
+
+    Plan (bin decomposition): each point maps to its single time bin
+    ``ts // bin_width``; each interval flat-maps to every bin it covers
+    (``lo//w .. (hi-1)//w`` — intervals replicate by ceil(len/w)+1, so pick
+    w ≈ the typical interval length). Both sides co-locate on
+    hash(key, bin) — the one exchange — then an in-bucket equi-merge on
+    (key, bin) plus the exact containment filter. Each pair matches in
+    exactly the point's bin, so no dedup pass. This turns an inequality
+    join (quadratic per key under a naive plan) into an equi-join whose
+    traffic is |points| + Σ ceil(interval_len/w)."""
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    p_names = list(points.schema().names)
+    i_names = list(intervals.schema().names)
+    clash = (set(p_names) & set(i_names)) - {key}
+    if clash:
+        raise ValueError(f"interval columns collide with point columns: "
+                         f"{clash}; rename upstream")
+    p_dtypes = _pd_dtypes(points)
+    i_dtypes = _pd_dtypes(intervals)
+
+    def with_bin_points(batch: pa.Table) -> pa.Table:
+        b = batch[ts].to_numpy() // w
+        return batch.append_column("__bin", pa.array(b, type=pa.int64()))
+
+    def explode_intervals(batch: pa.Table) -> pa.Table:
+        lo_b = batch[lo].to_numpy() // w
+        hi_v = batch[hi].to_numpy()
+        # hi exclusive: last covered bin is (hi-1)//w; empty intervals → 0
+        n = np.maximum((hi_v - 1) // w - lo_b + 1, 0)
+        idx = np.repeat(np.arange(len(batch)), n)
+        # per-row 0..n-1 offsets without a Python loop
+        off = np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)
+        t = batch.take(pa.array(idx))
+        return t.append_column("__bin", pa.array(lo_b[idx] + off,
+                                                 type=pa.int64()))
+
+    p_binned = points.map_batches(with_bin_points, batch_format="pyarrow")
+    i_binned = intervals.map_batches(explode_intervals, batch_format="pyarrow")
+
+    def bucket(batch: pa.Table) -> np.ndarray:
+        h = _key_hash(batch[key])
+        b = batch["__bin"].to_numpy().astype(np.uint64)
+        return (h ^ (b * _MIX)) % np.uint64(nbuckets)
+
+    unioned = _union_bucketed(p_binned, i_binned, bucket, bucket)
+    out_cols = i_names + [c for c in p_names if c != key]
+    empty = pd.DataFrame(columns=out_cols).astype(
+        {**{c: i_dtypes[c] for c in i_names},
+         **{c: p_dtypes[c] for c in p_names if c != key}})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        pg = g[g["__side"] == 0][p_names + ["__bin"]]
+        ig = g[g["__side"] == 1][i_names + ["__bin"]]
+        if not len(pg) or not len(ig):
+            return empty.copy()
+        pg = pg.astype({c: p_dtypes[c] for c in p_names}, copy=False)
+        ig = ig.astype({c: i_dtypes[c] for c in i_names}, copy=False)
+        m = ig.merge(pg, on=[key, "__bin"])
+        m = m[(m[lo] <= m[ts]) & (m[ts] < m[hi])]
+        return m[out_cols]
+
+    return unioned.groupby("__bucket").map_groups(kernel, batch_format="pandas")
+
+
+def hopping_windows(ds: ray.data.Dataset, ts: str, length: int, hop: int,
+                    out_col: str = "window_start") -> ray.data.Dataset:
+    """Hopping (sliding) window expansion: each row replicates once per
+    window [w, w+length) containing its ``ts`` (int64 units; window starts
+    on the ``hop`` grid). ``length`` must be a multiple of ``hop`` so every
+    row lands in exactly length/hop windows — the expansion factor is a
+    compile-time constant, and the downstream aggregate stays a combiner
+    (partial_counts) rather than a shuffle. length == hop degenerates to a
+    tumbling window (events_hourly)."""
+    if length % hop or length <= 0 or hop <= 0:
+        raise ValueError("length must be a positive multiple of hop")
+    nw = length // hop
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = batch[ts].to_numpy()
+        base = np.floor_divide(t, hop) * hop
+        idx = np.repeat(np.arange(len(batch)), nw)
+        k = np.tile(np.arange(nw, dtype=np.int64), len(batch))
+        out = batch.take(pa.array(idx))
+        return out.append_column(out_col,
+                                 pa.array(base[idx] - k * hop, type=pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,242 @@
+"""Brute-force oracles for stages/temporal.py and pipelines/analytics.py
+(the SQL twins are checked end-to-end by tools/check_oracle.py; these pin
+the operator semantics themselves on adversarial small inputs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geetiles_ray.pipelines import analytics as an
+from geetiles_ray.stages import temporal as tmp
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def _ds(df, nblocks=4):
+    return ray.data.from_pandas([d for d in np.array_split(df, nblocks)
+                                 if len(d)])
+
+
+class TestAsofJoin:
+    def _brute(self, L, R, direction="backward"):
+        rows = []
+        for _, lr in L.iterrows():
+            cand = R[R.k == lr.k]
+            if direction == "backward":
+                cand = cand[cand.rts <= lr.ts]
+                cand = cand.sort_values(["rts", "rid"])
+            else:
+                cand = cand[cand.rts >= lr.ts]
+                # least rts wins; ties still break to GREATEST rid
+                # (merge_asof forward picks the first row in sort order,
+                # so sort rid DESCENDING within rts)
+                cand = cand.sort_values(["rts", "rid"],
+                                        ascending=[True, False])
+                cand = cand.iloc[:1]
+            if len(cand):
+                # rts itself is not emitted (the operator keeps left's on;
+                # callers duplicate the right ts as payload when needed)
+                m = cand.iloc[-1] if direction == "backward" else cand.iloc[0]
+                rows.append({**lr.to_dict(), "rid": m.rid, "rv": m.rv})
+        return pd.DataFrame(rows)
+
+    @pytest.fixture
+    def sides(self):
+        r = _rng()
+        n_l, n_r = 120, 200
+        L = pd.DataFrame({"k": r.integers(0, 8, n_l),
+                          "ts": r.integers(0, 1000, n_l).astype("int64"),
+                          "lid": np.arange(n_l, dtype="int64")})
+        R = pd.DataFrame({"k": r.integers(0, 8, n_r),
+                          "rts": r.integers(0, 1000, n_r).astype("int64"),
+                          "rid": np.arange(n_r, dtype="int64"),
+                          "rv": r.normal(size=n_r)})
+        # force exact-timestamp ties on both sides
+        R.loc[5, ["k", "rts"]] = R.loc[4, ["k", "rts"]]
+        L.loc[3, ["k", "ts"]] = (R.loc[4, "k"], R.loc[4, "rts"])
+        return L, R
+
+    def test_backward_matches_brute(self, sides):
+        L, R = sides
+        out = tmp.asof_join(_ds(L), _ds(R), key="k", on="ts", right_on="rts",
+                            tiebreak="rid").to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        want = self._brute(L, R).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[want.columns], want,
+                                      check_dtype=False)
+        # dtype restore: right int payload must stay int64, not float64
+        assert out.rid.dtype == np.int64
+
+    def test_forward_matches_brute(self, sides):
+        L, R = sides
+        out = tmp.asof_join(_ds(L), _ds(R), key="k", on="ts", right_on="rts",
+                            tiebreak="rid", direction="forward").to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        want = self._brute(L, R, "forward").sort_values("lid") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[want.columns], want,
+                                      check_dtype=False)
+
+    def test_column_clash_rejected(self, sides):
+        L, R = sides
+        with pytest.raises(ValueError, match="collide"):
+            tmp.asof_join(_ds(L), _ds(R.rename(columns={"rv": "lid"})),
+                          key="k", on="ts", right_on="rts")
+
+
+class TestIntervalJoin:
+    def test_matches_brute_across_bin_widths(self):
+        r = _rng(11)
+        P = pd.DataFrame({"k": r.integers(0, 5, 300),
+                          "t": r.integers(0, 10_000, 300).astype("int64"),
+                          "pid": np.arange(300, dtype="int64")})
+        I = pd.DataFrame({"k": r.integers(0, 5, 40),
+                          "lo": r.integers(0, 9_000, 40).astype("int64"),
+                          "iid": np.arange(40, dtype="int64")})
+        I["hi"] = I.lo + r.integers(0, 3_000, 40)  # includes empty intervals
+        want = I.merge(P, on="k")
+        want = want[(want.lo <= want.t) & (want.t < want.hi)] \
+            .sort_values(["iid", "pid"]).reset_index(drop=True)
+        for w in (100, 777, 5_000):  # narrower / odd / wider than intervals
+            out = tmp.interval_join(_ds(P), _ds(I), key="k", ts="t",
+                                    lo="lo", hi="hi", bin_width=w) \
+                .to_pandas().sort_values(["iid", "pid"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(out[want.columns], want,
+                                          check_dtype=False)
+
+    def test_boundary_semantics(self):
+        # lo inclusive, hi exclusive — checked exactly on the boundary
+        P = pd.DataFrame({"k": [1, 1, 1], "t": [10, 19, 20],
+                          "pid": [0, 1, 2]})
+        I = pd.DataFrame({"k": [1], "lo": [10], "hi": [20], "iid": [0]})
+        out = tmp.interval_join(_ds(P, 1), _ds(I, 1), key="k", ts="t",
+                                lo="lo", hi="hi", bin_width=7).to_pandas()
+        assert sorted(out.pid.tolist()) == [0, 1]
+
+
+class TestHoppingWindows:
+    def test_each_row_in_exactly_len_over_hop_windows(self):
+        r = _rng(3)
+        df = pd.DataFrame({"t": r.integers(0, 100_000, 500).astype("int64"),
+                           "i": np.arange(500, dtype="int64")})
+        out = tmp.hopping_windows(_ds(df), ts="t", length=60, hop=20,
+                                  out_col="w").to_pandas()
+        assert len(out) == 3 * len(df)
+        # containment + grid alignment for every emitted (row, window)
+        assert ((out.w <= out.t) & (out.t < out.w + 60)).all()
+        assert (out.w % 20 == 0).all()
+        # completeness vs brute force on one row
+        row = df.iloc[0]
+        want = {w for w in range((row.t // 20 - 2) * 20, row.t + 1, 20)
+                if w <= row.t < w + 60}
+        assert set(out[out.i == row.i].w) == want
+
+    def test_rejects_non_multiple(self):
+        with pytest.raises(ValueError):
+            tmp.hopping_windows(_ds(pd.DataFrame({"t": [1]})), "t",
+                                length=50, hop=20)
+
+
+class TestGroupedTopN:
+    def test_matches_pandas_window(self):
+        r = _rng(5)
+        df = pd.DataFrame({"g": r.integers(0, 20, 400),
+                           "v": r.integers(0, 50, 400).astype("int64"),
+                           "id": np.arange(400, dtype="int64")})
+        out = an.grouped_topn(_ds(df, 6), keys=["g"], order_col="v", n=3,
+                              ascending=False, tiebreak="id").to_pandas() \
+            .sort_values(["g", "rank"]).reset_index(drop=True)
+        want = df.sort_values(["g", "v", "id"],
+                              ascending=[True, False, True])
+        want = want.assign(rank=want.groupby("g").cumcount() + 1)
+        want = want[want["rank"] <= 3].reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[want.columns], want,
+                                      check_dtype=False)
+
+    def test_ascending_and_small_groups(self):
+        df = pd.DataFrame({"g": [1, 1, 2], "v": [5.0, 3.0, 9.0],
+                           "id": [0, 1, 2]})
+        out = an.grouped_topn(_ds(df, 2), keys=["g"], order_col="v", n=2,
+                              ascending=True, tiebreak="id").to_pandas() \
+            .sort_values(["g", "rank"]).reset_index(drop=True)
+        assert out[["g", "v", "rank"]].values.tolist() == \
+            [[1, 3.0, 1], [1, 5.0, 2], [2, 9.0, 1]]
+
+
+class TestQuantiles:
+    @staticmethod
+    def _want(v, qs):
+        s = np.sort(v)
+        return [float(s[max(int(np.ceil(q * len(s))), 1) - 1]) for q in qs]
+
+    def test_matches_nearest_rank(self):
+        r = _rng(13)
+        v = np.round(r.normal(100, 25, 5_000), 3)
+        qs = [0.01, 0.1, 0.5, 0.9, 0.999]
+        out = an.quantiles_exact(_ds(pd.DataFrame({"x": v}), 8), "x", qs)
+        assert out.q.tolist() == sorted(qs)
+        assert out.value.tolist() == self._want(v, sorted(qs))
+
+    def test_recursion_path_and_duplicates(self):
+        # cap=10 forces the candidate-bin recursion; heavy duplicate mass
+        # exercises the lo == hi fast path inside it
+        r = _rng(17)
+        v = np.concatenate([np.full(3_000, 42.0), r.uniform(0, 100, 2_000)])
+        qs = [0.25, 0.5, 0.75]
+        out = an.quantiles_exact(_ds(pd.DataFrame({"x": v}), 8), "x", qs,
+                                 nbins=16, cap=10)
+        assert out.value.tolist() == self._want(v, qs)
+
+    def test_constant_and_empty(self):
+        out = an.quantiles_exact(
+            _ds(pd.DataFrame({"x": np.full(50, 7.0)}), 2), "x", [0.1, 0.9])
+        assert out.value.tolist() == [7.0, 7.0]
+        empty = an.quantiles_exact(
+            ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())})),
+            "x", [0.5])
+        assert np.isnan(empty.value).all()
+
+
+class TestTopTokens:
+    def test_matches_brute(self):
+        df = pd.DataFrame({"text": [
+            "the cat, sat on the mat.", "THE CAT ran!", "a dog; the dog",
+            "   ", "", "cat cat cat"]})
+        out = an.top_tokens(_ds(df, 3), "text", k=3)
+        # brute: the×4? the(3)+THE(1)=4, cat: 1+1+3=5, dog 2 ...
+        assert out.token.tolist() == ["cat", "the", "dog"]
+        assert out.n.tolist() == [5, 4, 2]
+        assert out["rank"].tolist() == [1, 2, 3]
+
+    def test_tie_breaks_to_token_asc(self):
+        df = pd.DataFrame({"text": ["b a", "a b c"]})
+        out = an.top_tokens(_ds(df, 1), "text", k=2)
+        assert out.token.tolist() == ["a", "b"]
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_bounds(self):
+        df = pd.DataFrame({"id": np.arange(4_000, dtype="int64"),
+                           "s": np.tile(["a", "b", "c", "d"], 1_000)})
+        rates = {"a": (1, 2), "b": (1, 10), "c": (1, 1)}  # d → default 0
+        o1 = an.stratified_sample(_ds(df, 4), "id", "s", rates).to_pandas()
+        o2 = an.stratified_sample(_ds(df, 7), "id", "s", rates).to_pandas()
+        # deterministic: identical sample regardless of blocking
+        assert sorted(o1.id) == sorted(o2.id)
+        got = o1.groupby("s").size()
+        assert got.get("d", 0) == 0          # default rate 0 → none
+        assert got["c"] == 1_000             # rate 1 → all
+        assert abs(got["a"] / 1_000 - 0.5) < 0.06
+        assert abs(got["b"] / 1_000 - 0.1) < 0.04
+
+    def test_threshold_exactness(self):
+        assert an.sample_threshold(1, 2) == 1 << 63
+        assert an.sample_threshold(1, 8) == 1 << 61
+        assert an.sample_threshold(0, 1) == 0
+        assert an.sample_threshold(1, 1) == 1 << 64
+        with pytest.raises(ValueError):
+            an.sample_threshold(3, 2)
