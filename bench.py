@@ -37,7 +37,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  # round-3 operators
                  "asof_join_events", "purchase_window_events",
                  "top_orders_per_customer", "price_quantiles",
-                 "top_tokens", "stratified_sample"]
+                 "top_tokens", "stratified_sample",
+                 "kmeans_clusters", "ann_lsh"]
 
 
 def host_probe() -> dict:

@@ -1698,6 +1698,42 @@ def q_stratified_sample(sf_dir: str):
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed k-means (pipelines/cluster.py): 3 Lloyd assignment
+    rounds, k=8, over the exact-integer quantized grid — the iterative
+    algorithm is fully SQL-replayable because every intermediate (distance,
+    partial sum, centroid rounding) is integer arithmetic, immune to float
+    summation order."""
+    from . import cluster as clmod
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assigned, _cent = clmod.kmeans_quantized(emb, k=8, iters=3)
+    return assigned.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (pipelines/cluster.py): random-hyperplane signature
+    buckets (integer-exact signs) prune candidates before the exact cosine
+    top-5 — the scale path beside brute (ann_topk) and IVF. Recall < 1 by
+    design; the SQL twin replays the SAME buckets, so the check is still
+    value-exact."""
+    from . import cluster as clmod
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return clmod.lsh_topk(emb, query_ids=np.arange(5), k=5, nplanes=6)
+
+
+def _sql_cluster():
+    from . import cluster as clmod
+    return (clmod.sql_kmeans(k=8, iters=3, dim=64),
+            clmod.sql_lsh_topk(k=5, nplanes=6, dim=64, n_queries=5))
+
+
+SQL_KMEANS_CLUSTERS, SQL_ANN_LSH = _sql_cluster()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1743,4 +1779,6 @@ REGISTRY = {
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
 }
