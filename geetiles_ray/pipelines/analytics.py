@@ -251,10 +251,11 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, strata_col: str,
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         h = (df[key_col].to_numpy().astype(np.uint64) + np.uint64(1)) \
             * np.uint64(_MIX)
-        t = df[strata_col].map(thr64).fillna(min(default_t, _M64)) \
+        t = df[strata_col].map(thr64)
+        t = t.where(t.notna(), min(default_t, _M64)) \
             .astype(np.uint64).to_numpy()
-        full = df[strata_col].map(is_full).fillna(default_t > _M64) \
-            .astype(bool).to_numpy()
+        f = df[strata_col].map(is_full)
+        full = f.where(f.notna(), default_t > _M64).astype(bool).to_numpy()
         return df[full | (h < t)]
 
     return ds.map_batches(keep, batch_format="pandas")
