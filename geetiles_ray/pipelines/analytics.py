@@ -56,11 +56,10 @@ def grouped_topn(ds: ray.data.Dataset, keys: list[str], order_col: str,
     pruned = ds.map_batches(prune, batch_format="pandas")
 
     def tag(batch: pa.Table) -> pa.Table:
+        from ..stages.temporal import _key_hash
         h = np.zeros(len(batch), dtype=np.uint64)
         for k in keys:
-            h ^= pd.util.hash_array(
-                np.asarray(batch[k].to_pylist(), dtype=object)) \
-                * np.uint64(_MIX)
+            h ^= _key_hash(batch[k]) * np.uint64(_MIX)
         b = (h % np.uint64(nbuckets)).astype(np.int64)
         return batch.append_column("__bucket", pa.array(b))
 
@@ -69,8 +68,9 @@ def grouped_topn(ds: ray.data.Dataset, keys: list[str], order_col: str,
                            with_rank=True)
         return out.drop(columns="__bucket")
 
-    return pruned.map_batches(tag, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(final, batch_format="pandas")
+    from ..stages.temporal import grouped_apply
+    return grouped_apply(pruned.map_batches(tag, batch_format="pyarrow"),
+                         final, nbuckets)
 
 
 # --------------------------------------------------------- exact quantiles

@@ -236,8 +236,8 @@ def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
-            h = pd.util.hash_array(
-                np.asarray(batch[key].to_pylist(), dtype=object))
+            from .temporal import _key_hash
+            h = _key_hash(batch[key])
             b = (h % np.uint64(nbuckets)).astype(np.int64)
             return batch.append_column("__bucket", pa.array(b)) \
                 .append_column("__side", pa.array([side] * len(batch), type=pa.int8()))

@@ -81,6 +81,26 @@ class TestAsofJoin:
         pd.testing.assert_frame_equal(out[want.columns], want,
                                       check_dtype=False)
 
+    def test_hash_exchange_parity(self, sides):
+        # grouped_apply's keyed-repartition fast path (HASH_SHUFFLE +
+        # one-block-per-partition probe) must give the same join as the
+        # sort groupby; kernels must tolerate multi-bucket partitions
+        from ray.data.context import DataContext, ShuffleStrategy
+        L, R = sides
+        want = tmp.asof_join(_ds(L), _ds(R), key="k", on="ts",
+                             right_on="rts", tiebreak="rid").to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        ctx = DataContext.get_current()
+        old = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            got = tmp.asof_join(_ds(L), _ds(R), key="k", on="ts",
+                                right_on="rts", tiebreak="rid").to_pandas() \
+                .sort_values("lid").reset_index(drop=True)
+        finally:
+            ctx.shuffle_strategy = old
+        pd.testing.assert_frame_equal(got, want)
+
     def test_column_clash_rejected(self, sides):
         L, R = sides
         with pytest.raises(ValueError, match="collide"):
