@@ -301,8 +301,11 @@ def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
     l_full = l_full.select_columns(ordered_cols)
     r_full = r_full.select_columns(ordered_cols)
 
-    return l_full.union(r_full).groupby("__bucket").map_groups(
-        merge, batch_format="pandas")
+    # exchange via grouped_apply: sort groupby by default, keyed-repartition
+    # whole-block path when the session opted into HASH_SHUFFLE (the merge
+    # kernel is per-key vectorized, so multi-bucket partitions are fine)
+    from .temporal import grouped_apply
+    return grouped_apply(l_full.union(r_full), merge, nbuckets)
 
 
 def semi_join_ids(ds: ray.data.Dataset, ids, col: str = "identifier",
