@@ -195,6 +195,54 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     return grouped_apply(unioned, kernel, nbuckets)
 
 
+def asof_join_broadcast(left: ray.data.Dataset, right: pd.DataFrame,
+                        key: str, on: str, right_on: str | None = None,
+                        tiebreak: str | None = None,
+                        direction: str = "backward",
+                        broadcast_limit: int = 5_000_000) -> ray.data.Dataset:
+    """Exchange-free as-of join for a small (dimension-sized) right side:
+    the right table ships to the object store ONCE (``ray.put``) and every
+    left batch runs ``merge_asof`` against it map-side — the left side
+    never shuffles, the same broadcast duality dedup has
+    (dedup_exact_broadcast vs the exchange plans). Same match contract as
+    ``asof_join``; raises above ``broadcast_limit`` rows (beyond that, use
+    the exchange plan — a broadcast table must fit every worker's heap)."""
+    if len(right) > broadcast_limit:
+        raise ValueError(
+            f"right side has {len(right)} rows > broadcast_limit="
+            f"{broadcast_limit}; use asof_join (the exchange plan)")
+    right_on = right_on or on
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    r_payload = [c for c in right.columns if c not in (key, right_on)]
+    if not r_payload:
+        raise ValueError("right side needs at least one payload column")
+    clash = (set(left.schema().names) & set(r_payload))
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {clash}")
+    sort_cols = [right_on] + ([tiebreak] if tiebreak else [])
+    asc = [True] + ([direction == "backward"] if tiebreak else [])
+    rsorted = right.sort_values(sort_cols, ascending=asc, kind="mergesort") \
+        .reset_index(drop=True)
+    if right_on != on:
+        rsorted = rsorted.rename(columns={right_on: on})
+    r_ref = ray.put(rsorted[[key, on] + r_payload])
+    r_dtypes = {c: rsorted[c].dtype for c in r_payload}
+    probe = r_payload[0]
+
+    class Kernel:
+        def __init__(self):
+            self.r = ray.get(r_ref)  # one fetch per actor, zero-copy local
+
+        def __call__(self, lg: pd.DataFrame) -> pd.DataFrame:
+            m = pd.merge_asof(lg.sort_values(on, kind="mergesort"), self.r,
+                              on=on, by=key, direction=direction)
+            m = m.dropna(subset=[probe])
+            return m.astype(r_dtypes, copy=False)
+
+    return left.map_batches(Kernel, batch_format="pandas", concurrency=2)
+
+
 def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
                   key: str, ts: str, lo: str, hi: str, bin_width: int,
                   nbuckets: int = 32) -> ray.data.Dataset:
@@ -265,6 +313,81 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
         return m[out_cols]
 
     return grouped_apply(unioned, kernel, nbuckets)
+
+
+def interval_join_broadcast(points: ray.data.Dataset,
+                            intervals: pd.DataFrame, key: str, ts: str,
+                            lo: str, hi: str, bin_width: int,
+                            broadcast_limit: int = 2_000_000
+                            ) -> ray.data.Dataset:
+    """Exchange-free interval join for a small interval set (campaign
+    windows, rollout ranges): intervals are bin-exploded ONCE driver-side,
+    broadcast via ``ray.put``, and every point batch equi-merges on
+    (key, bin) map-side + the exact containment filter. Point traffic:
+    zero shuffle. Raises above ``broadcast_limit`` exploded rows."""
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("bin_width must be positive")
+    clash = (set(points.schema().names) & set(intervals.columns)) - {key}
+    if clash:
+        raise ValueError(f"interval columns collide with point columns: "
+                         f"{clash}; rename upstream")
+    lo_v = intervals[lo].to_numpy()
+    hi_v = intervals[hi].to_numpy()
+    n = np.maximum((hi_v - 1) // w - lo_v // w + 1, 0)
+    if n.sum() > broadcast_limit:
+        raise ValueError(
+            f"intervals explode to {int(n.sum())} bin rows > "
+            f"broadcast_limit={broadcast_limit}; use interval_join")
+    idx = np.repeat(np.arange(len(intervals)), n)
+    off = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+    exploded = intervals.iloc[idx].reset_index(drop=True)
+    exploded["__bin"] = (lo_v // w)[idx] + off
+    i_ref = ray.put(exploded)
+    i_names = list(intervals.columns)
+
+    class Kernel:
+        def __init__(self):
+            # build a sorted composite (key, bin) int64 index ONCE per
+            # actor; each batch is then pure searchsorted — no per-batch
+            # hash-table build (a pandas merge rebuilds the broadcast
+            # side's hash every batch: measured 2.8x slower than the
+            # exchange plan at 1.6M exploded rows, and join-on-MultiIndex
+            # is slower still on non-unique keys)
+            e = ray.get(i_ref)
+            self.e = e
+            self.keys = pd.Index(pd.unique(e[key]))
+            kcodes = self.keys.get_indexer(e[key]).astype(np.int64)
+            b = e["__bin"].to_numpy()
+            self.bmin = int(b.min()) if len(b) else 0
+            self.span = int(b.max()) - self.bmin + 1 if len(b) else 1
+            comp = kcodes * self.span + (b - self.bmin)
+            self.order = np.argsort(comp, kind="stable")
+            self.comp = comp[self.order]
+            self.lo_s = e[lo].to_numpy()[self.order]
+            self.hi_s = e[hi].to_numpy()[self.order]
+
+        def __call__(self, pg: pd.DataFrame) -> pd.DataFrame:
+            t = pg[ts].to_numpy()
+            kc = self.keys.get_indexer(pg[key]).astype(np.int64)
+            pb = t // w - self.bmin
+            ok = (kc >= 0) & (pb >= 0) & (pb < self.span)
+            comp_p = kc[ok] * self.span + pb[ok]
+            s = np.searchsorted(self.comp, comp_p, side="left")
+            e_ = np.searchsorted(self.comp, comp_p, side="right")
+            cnt = e_ - s
+            prow = np.repeat(np.nonzero(ok)[0], cnt)
+            tot = int(cnt.sum())
+            islot = np.repeat(s, cnt) + \
+                (np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            keep = (self.lo_s[islot] <= t[prow]) & (t[prow] < self.hi_s[islot])
+            prow, islot = prow[keep], islot[keep]
+            left = self.e.iloc[self.order[islot]].reset_index(drop=True)
+            right = pg.iloc[prow].reset_index(drop=True) \
+                .drop(columns=[key])
+            return pd.concat([left[i_names], right], axis=1)
+
+    return points.map_batches(Kernel, batch_format="pandas", concurrency=2)
 
 
 def hopping_windows(ds: ray.data.Dataset, ts: str, length: int, hop: int,

@@ -130,6 +130,16 @@ def main():
     timed("hopping_3x", lambda: tmp.hopping_windows(
         ev, ts="ts_us", length=21_600_000_000, hop=7_200_000_000).count())
 
+    # exchange-free broadcast plans (right side ≈ 800k rows here)
+    clicks_df = clicks.drop_columns(["click_etype"]).to_pandas()
+    timed("asof_join_bcast", lambda: tmp.asof_join_broadcast(
+        purchases, clicks_df, key="user_id", on="ts_us",
+        right_on="click_ts", tiebreak="click_id").count())
+    windows_df = windows.to_pandas()
+    timed("interval_join_bcast", lambda: tmp.interval_join_broadcast(
+        points, windows_df, key="user_id", ts="ts_us", lo="lo_us",
+        hi="hi_us", bin_width=3_600_000_000).count())
+
     print(json.dumps(out))
     ray.shutdown()
 
