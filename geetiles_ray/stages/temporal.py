@@ -195,11 +195,23 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, key: str,
     return grouped_apply(unioned, kernel, nbuckets)
 
 
+def _pool_size() -> tuple:
+    """Autoscaling actor-pool bounds for a standalone broadcast-join stage:
+    floor 2, ceiling most of the cluster (these stages run alone, not in a
+    deep chain where per-operator reservations starve each other)."""
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    return (2, max(2, ncpu - 2))
+
+
 def asof_join_broadcast(left: ray.data.Dataset, right: pd.DataFrame,
                         key: str, on: str, right_on: str | None = None,
                         tiebreak: str | None = None,
                         direction: str = "backward",
-                        broadcast_limit: int = 5_000_000) -> ray.data.Dataset:
+                        broadcast_limit: int = 5_000_000,
+                        concurrency: int | tuple | None = None
+                        ) -> ray.data.Dataset:
     """Exchange-free as-of join for a small (dimension-sized) right side:
     the right table ships to the object store ONCE (``ray.put``) and every
     left batch runs ``merge_asof`` against it map-side — the left side
@@ -240,7 +252,8 @@ def asof_join_broadcast(left: ray.data.Dataset, right: pd.DataFrame,
             m = m.dropna(subset=[probe])
             return m.astype(r_dtypes, copy=False)
 
-    return left.map_batches(Kernel, batch_format="pandas", concurrency=2)
+    return left.map_batches(Kernel, batch_format="pandas",
+                            concurrency=concurrency or _pool_size())
 
 
 def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
@@ -318,7 +331,8 @@ def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
 def interval_join_broadcast(points: ray.data.Dataset,
                             intervals: pd.DataFrame, key: str, ts: str,
                             lo: str, hi: str, bin_width: int,
-                            broadcast_limit: int = 2_000_000
+                            broadcast_limit: int = 2_000_000,
+                            concurrency: int | tuple | None = None
                             ) -> ray.data.Dataset:
     """Exchange-free interval join for a small interval set (campaign
     windows, rollout ranges): intervals are bin-exploded ONCE driver-side,
@@ -387,7 +401,8 @@ def interval_join_broadcast(points: ray.data.Dataset,
                 .drop(columns=[key])
             return pd.concat([left[i_names], right], axis=1)
 
-    return points.map_batches(Kernel, batch_format="pandas", concurrency=2)
+    return points.map_batches(Kernel, batch_format="pandas",
+                              concurrency=concurrency or _pool_size())
 
 
 def hopping_windows(ds: ray.data.Dataset, ts: str, length: int, hop: int,
