@@ -1,0 +1,236 @@
+"""Corpus-level duplicate-segment removal (CCNet-style line dedup).
+
+Web-pipeline boilerplate removal: a *segment* that appears in ≥
+``min_docs`` distinct documents is boilerplate (nav bars, footers, cookie
+banners) and is removed from EVERY document, preserving the order of the
+surviving segments. Two segmenters share one code path:
+
+- ``mode="lines"``  — split on newline (the classic CCNet unit; real web
+  pages).
+- ``mode="words"``  — fixed ``width``-word aligned windows (the driver's
+  synthetic ``documents`` table is single-line, so word windows are the
+  unit that actually repeats there; also the shape used by
+  substring-level training-data dedup).
+
+Physical plan (the dedup_exact_broadcast duality, see
+pipelines/dedup.py:338): pass 1 is a narrow text-column scan that counts
+distinct docs per segment — segments are never materialized as strings;
+each is identified by a 128-bit positional fold of per-word 64-bit hashes
+(collision-safe removal, same argument as dedup.py:280). The banned set
+(only segments with ndocs ≥ min_docs) is broadcast via ``ray.put`` and
+pass 2 is ONE map-side rewrite — no all-to-all exchange anywhere.
+
+Scale regime: the fold sees |distinct segments per batch| partial rows
+(24 B each) and the broadcast is O(duplicate segments). ``fold="driver"``
+(default) np-folds partials on the driver — right while distinct segments
+fit driver RAM (billions of 24 B rows ≈ tens of GB: beyond that pass
+``fold="groupby"`` to route partials through a hash aggregation and
+collect only the post-filter banned rows).
+
+Determinism contract: ``ds`` is scanned twice and MUST re-scan
+identically (file source or materialized) — same contract as
+dedup_exact_twopass (dedup.py:246).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_POW_BASE = np.uint64(1000003)  # odd → invertible mod 2^64 (prefix-safe)
+_H2_KEY = "4c1f9d2ab37e6805"
+
+
+def _word_hashes(flat: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per exploded word/line (vectorized)."""
+    h1 = pd.util.hash_pandas_object(flat, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(flat, index=False,
+                                    hash_key=_H2_KEY).to_numpy()
+    return h1, h2
+
+
+def _explode(texts: pd.Series, mode: str, width: int):
+    """texts → (flat_words Series, row_of, pos_in_row, lens).
+    ``mode="lines"`` treats each line as one one-word segment (width=1)."""
+    sep = "\n" if mode == "lines" else " "
+    parts = texts.str.split(sep)
+    lens = parts.str.len().to_numpy(dtype=np.int64)
+    flat = parts.explode(ignore_index=True)
+    row_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(len(flat), dtype=np.int64) - starts[row_of]
+    return flat, row_of, pos, lens
+
+
+def _segment_hashes(texts: pd.Series, mode: str, width: int):
+    """Per-text aligned segments → 128-bit identities, no string assembly.
+
+    Segment identity = Σ_j wordhash[j]·BASE^j (mod 2⁶⁴, j = offset inside
+    the window) for each of the two word-hash families. The positional
+    polynomial is injective w.r.t. the word sequence up to hash collisions
+    and distinguishes a window from its proper prefixes (BASE odd ⇒ BASE^j
+    invertible), so two segments fold equal iff their text is equal,
+    within 2⁻¹²⁸.
+
+    Returns (seg_h1, seg_h2, seg_row, seg_words, word_gcid, flat, row_of):
+    per-segment hash pair, owning row, word count; plus each word's global
+    segment id and the exploded words themselves (for pass-2 rewrites —
+    computed once, shared by both passes' callers)."""
+    w = 1 if mode == "lines" else width
+    flat, row_of, pos, lens = _explode(texts, mode, width)
+    h1, h2 = _word_hashes(flat)
+    chunk = pos // w
+    nseg_row = (lens + w - 1) // w
+    seg_start_of_row = np.cumsum(nseg_row) - nseg_row
+    gcid = seg_start_of_row[row_of] + chunk
+    nseg = int(nseg_row.sum())
+    # positional fold per segment: contributions ordered by gcid (row-major)
+    powv = _POW_BASE ** (pos % w).astype(np.uint64)
+    first = np.empty(len(flat), dtype=bool)
+    if len(flat):
+        first[0] = True
+        first[1:] = gcid[1:] != gcid[:-1]
+    bounds = np.nonzero(first)[0]
+    seg_h1 = np.add.reduceat(h1 * powv, bounds) if nseg else np.empty(0, np.uint64)
+    seg_h2 = np.add.reduceat(h2 * powv, bounds) if nseg else np.empty(0, np.uint64)
+    seg_row = row_of[bounds] if nseg else np.empty(0, np.int64)
+    seg_words = np.diff(np.append(bounds, len(flat))) if nseg \
+        else np.empty(0, np.int64)
+    return seg_h1, seg_h2, seg_row, seg_words, gcid, flat, row_of
+
+
+def _member128(h1d: np.ndarray, h2d: np.ndarray,
+               b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    """Membership of (b1,b2) pairs in the (h1,h2)-lexsorted banned arrays:
+    locate the h1 run via searchsorted, probe each slot for the h2 match
+    (runs are length 1 except 64-bit h1 collisions) — the dedup
+    classify-kernel probe (dedup.py:441)."""
+    n = len(b1)
+    found = np.zeros(n, dtype=bool)
+    if not len(h1d) or not n:
+        return found
+    left = np.searchsorted(h1d, b1, side="left")
+    right = np.searchsorted(h1d, b1, side="right")
+    for off in range(int((right - left).max(initial=0))):
+        in_run = off < (right - left)
+        j = np.minimum(left + off, len(h1d) - 1)
+        found |= in_run & (h1d[j] == b1) & (h2d[j] == b2)
+    return found
+
+
+def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
+                    mode: str = "words", width: int = 3, min_docs: int = 2,
+                    fold: str = "driver"):
+    """Pass 1: ray.put ref of the (h1,h2)-lexsorted banned-segment hash
+    arrays. Narrow scan — only ``text_col`` leaves storage; per-batch
+    partials carry one row per distinct segment (within-doc repeats
+    deduped BEFORE counting, so ndocs counts documents, not occurrences)."""
+    import ray
+
+    def local(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        s1, s2, srow, _sw, _g, _f, _r = _segment_hashes(texts, mode, width)
+        if not len(s1):
+            e = np.empty(0, dtype=np.uint64)
+            return pa.table({"__h1": pa.array(e), "__h2": pa.array(e),
+                             "__n": pa.array(np.empty(0, np.int64))})
+        order = np.lexsort((srow, s2, s1))
+        s1, s2, srow = s1[order], s2[order], srow[order]
+        uniq = np.empty(len(s1), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) \
+            | (srow[1:] != srow[:-1])
+        s1, s2 = s1[uniq], s2[uniq]
+        new = np.empty(len(s1), dtype=bool)
+        new[0] = True
+        new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        starts = np.nonzero(new)[0]
+        ndocs = np.diff(np.append(starts, len(s1)))
+        return pa.table({"__h1": pa.array(s1[starts], type=pa.uint64()),
+                         "__h2": pa.array(s2[starts], type=pa.uint64()),
+                         "__n": pa.array(ndocs.astype(np.int64))})
+
+    partial = ds.select_columns([text_col]) \
+        .map_batches(local, batch_format="pyarrow")
+
+    if fold == "groupby":
+        # corpus-scale fold: hash aggregation over the partials; only the
+        # post-filter banned rows (ndocs ≥ min_docs) reach the driver
+        agg = partial.groupby(["__h1", "__h2"]).sum("__n").map_batches(
+            lambda b: b.filter(pa.compute.greater_equal(b["sum(__n)"],
+                                                        min_docs)),
+            batch_format="pyarrow")
+        t = agg.to_pandas()
+        h1 = t["__h1"].to_numpy(dtype=np.uint64)
+        h2 = t["__h2"].to_numpy(dtype=np.uint64)
+    else:
+        hs1, hs2, cs = [], [], []
+        for b in partial.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
+            hs1.append(b["__h1"].to_numpy())
+            hs2.append(b["__h2"].to_numpy())
+            cs.append(b["__n"].to_numpy())
+        if not hs1:
+            e = np.empty(0, dtype=np.uint64)
+            return ray.put((e, e))
+        h1 = np.concatenate(hs1)
+        h2 = np.concatenate(hs2)
+        c = np.concatenate(cs)
+        order = np.lexsort((h2, h1))
+        h1, h2, c = h1[order], h2[order], c[order]
+        new = np.empty(len(h1), dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        tot = np.add.reduceat(c, starts)
+        keep = tot >= min_docs
+        h1, h2 = h1[starts][keep], h2[starts][keep]
+    order = np.lexsort((h2, h1))
+    return ray.put((h1[order], h2[order]))
+
+
+def segment_dedup(ds: ray.data.Dataset, text_col: str = "text",
+                  mode: str = "words", width: int = 3, min_docs: int = 2,
+                  out_col: str = "text_clean",
+                  banned_ref=None) -> ray.data.Dataset:
+    """Pass 2: map-side rewrite. Adds ``n_segments`` (segments in the
+    original text), ``n_removed`` (boilerplate segments dropped) and
+    ``out_col`` (surviving segments joined in original order; '' when
+    everything was boilerplate). Exchange-free: the banned set rides in
+    the object store, every batch rewrites independently."""
+    import ray
+
+    if banned_ref is None:
+        banned_ref = banned_segments(ds, text_col, mode, width, min_docs)
+    sep = "\n" if mode == "lines" else " "
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        n = len(texts)
+        if n == 0:
+            cols = {c: batch[c] for c in batch.column_names}
+            cols["n_segments"] = pa.array([], type=pa.int64())
+            cols["n_removed"] = pa.array([], type=pa.int64())
+            cols[out_col] = pa.array([], type=pa.string())
+            return pa.table(cols)
+        h1d, h2d = ray.get(banned_ref)
+        s1, s2, srow, _swords, gcid, flat, row_of = \
+            _segment_hashes(texts, mode, width)
+        ban = _member128(h1d, h2d, s1, s2)
+        nseg = np.bincount(srow, minlength=n).astype(np.int64)
+        nrem = np.bincount(srow[ban], minlength=n).astype(np.int64)
+        keep_w = ~ban[gcid]
+        kept_words = flat.to_numpy()[keep_w]
+        kept_rows = row_of[keep_w]
+        offs = np.cumsum(np.bincount(kept_rows, minlength=n))
+        lo = np.concatenate(([0], offs[:-1]))
+        out = [sep.join(kept_words[a:b]) for a, b in zip(lo, offs)]
+        cols = {c: batch[c] for c in batch.column_names}
+        cols["n_segments"] = pa.array(nseg)
+        cols["n_removed"] = pa.array(nrem)
+        cols[out_col] = pa.array(out, type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

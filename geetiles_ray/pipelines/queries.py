@@ -1734,6 +1734,54 @@ def _sql_cluster():
 SQL_KMEANS_CLUSTERS, SQL_ANN_LSH = _sql_cluster()
 
 
+def q_segment_dedup(sf_dir: str):
+    """Corpus-level duplicate-segment removal (pipelines/lines.py, the
+    CCNet line-dedup analogue): aligned 3-word windows appearing in ≥ 2
+    distinct documents are boilerplate and are removed from every text.
+    Exchange-free: segment census is a narrow hash-fold scan, the banned
+    set broadcasts, the rewrite is map-side. The SQL twin reassembles the
+    exact surviving text per document, so the value-hash checks removal
+    AND order preservation byte-for-byte."""
+    from . import lines as linesmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = linesmod.segment_dedup(docs, "text", mode="words", width=3,
+                                 min_docs=2)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "n_segments", "n_removed", "text_clean"]] \
+        .astype({"n_segments": "int64", "n_removed": "int64"})
+
+
+SQL_SEGMENT_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), expl AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS i FROM toks
+), segs AS (
+  SELECT doc_id, i // 3 AS si, string_agg(tok, ' ' ORDER BY i) AS seg
+  FROM expl GROUP BY doc_id, i // 3
+), freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg
+), kept AS (
+  SELECT s.doc_id, s.si, s.seg FROM segs s JOIN freq f USING (seg)
+  WHERE f.ndocs < 2
+), stats AS (
+  SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY si) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, s.n_segments,
+       s.n_segments - COALESCE(r.n_kept, 0) AS n_removed,
+       COALESCE(r.text_clean, '') AS text_clean
+FROM documents d JOIN stats s USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1781,4 +1829,5 @@ REGISTRY = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
 }

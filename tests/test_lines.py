@@ -1,0 +1,99 @@
+"""Corpus-level duplicate-segment removal (pipelines/lines.py)."""
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from geetiles_ray.pipelines import lines
+
+
+def _line_corpus():
+    """6 docs sharing a boilerplate header/footer line; doc 5 is ONLY
+    boilerplate; doc 4 has a line repeated twice within itself (must count
+    as one doc for the census, and both copies must be removed)."""
+    head = "COOKIE BANNER accept all"
+    foot = "copyright footer 2024"
+    rows = [
+        f"{head}\nunique body zero\n{foot}",
+        f"{head}\nunique body one\n{foot}",
+        f"{head}\nanother body two",
+        "free standing page three\nno boilerplate here",
+        f"self repeated line\nself repeated line\nbody four\n{foot}",
+        f"{head}\n{foot}",
+    ]
+    return pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+
+
+def _brute_line_dedup(df, min_docs=2):
+    from collections import Counter
+    c = Counter()
+    for t in df.text:
+        for ln in set(t.split("\n")):
+            c[ln] += 1
+    banned = {ln for ln, n in c.items() if n >= min_docs}
+    out = []
+    for t in df.text:
+        segs = t.split("\n")
+        kept = [s for s in segs if s not in banned]
+        out.append((len(segs), len(segs) - len(kept), "\n".join(kept)))
+    return out
+
+
+class TestSegmentDedup:
+    def test_line_mode_matches_brute_force(self):
+        df = _line_corpus()
+        ds = ray.data.from_pandas(df)
+        got = lines.segment_dedup(ds, "text", mode="lines") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = _brute_line_dedup(df)
+        for i, (nseg, nrem, clean) in enumerate(exp):
+            assert got.n_segments[i] == nseg, i
+            assert got.n_removed[i] == nrem, i
+            assert got.text_clean[i] == clean, i
+        # doc 5 was pure boilerplate → empty string survives with schema
+        assert got.text_clean[5] == ""
+        # within-doc repeat (doc 4) did NOT make the line cross-doc banned
+        assert "self repeated line" in got.text_clean[4]
+
+    def test_word_window_mode(self):
+        shared = "alpha beta gamma"  # one aligned 3-word window
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": [f"{shared} one two three",
+                     f"{shared} four five six",
+                     "seven eight nine ten"],
+        })
+        ds = ray.data.from_pandas(df)
+        got = lines.segment_dedup(ds, "text", mode="words", width=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.n_removed) == [1, 1, 0]
+        assert got.text_clean[0] == "one two three"
+        assert got.text_clean[2] == "seven eight nine ten"
+        # trailing partial window (len % width != 0) is its own segment
+        df2 = pd.DataFrame({"doc_id": [0, 1],
+                            "text": ["a b c d e", "x y z d e"]})
+        got2 = lines.segment_dedup(ray.data.from_pandas(df2), "text",
+                                   mode="words", width=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got2.n_removed) == [1, 1]  # the "d e" tail is shared
+        assert got2.text_clean[0] == "a b c"
+
+    def test_groupby_fold_parity(self):
+        df = _line_corpus()
+        ds = ray.data.from_pandas(df)
+        r1 = ray.get(lines.banned_segments(ds, "text", mode="lines",
+                                           fold="driver"))
+        r2 = ray.get(lines.banned_segments(ds, "text", mode="lines",
+                                           fold="groupby"))
+        np.testing.assert_array_equal(r1[0], r2[0])
+        np.testing.assert_array_equal(r1[1], r2[1])
+
+    def test_no_duplicates_is_identity(self):
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["only one doc here", "fully distinct"]})
+        got = lines.segment_dedup(ray.data.from_pandas(df), "text",
+                                  mode="words", width=3) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.n_removed) == [0, 0]
+        assert list(got.text_clean) == list(df.text)
