@@ -1782,6 +1782,55 @@ ORDER BY d.doc_id
 """
 
 
+_URL_SYNTH_SQL = ("('https://' || lang || '.site' || CAST(doc_id % 19 AS "
+                  "VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || "
+                  "'?ref=r' || CAST(doc_id % 7 AS VARCHAR))")
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-registrable-domain crawl stats (functions/url.py): the Ray side
+    parses real URL strings with the vectorized regex parser (scheme /
+    host / domain / path), the SQL twin re-parses the SAME strings with
+    RE2 regexp_extract — so host splitting, domain heuristics and the
+    distinct-count plan are all value-checked. URLs are synthesized as a
+    pure function of (doc_id, lang) with ~19 domains × 5 language
+    subdomains so domains genuinely aggregate."""
+    from ..functions import url as urlmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        urls = [f"https://{lg}.site{int(i) % 19}.example/p/{int(i)}"
+                f"?ref=r{int(i) % 7}" for lg, i in zip(langs, d)]
+        return pa.table({"url": pa.array(urls, type=pa.string()),
+                         "lang": batch["lang"],
+                         "n_chars": batch["n_chars"]})
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    return urlmod.domain_stats(pages)
+
+
+SQL_DOMAIN_STATS = f"""
+WITH pages AS (
+  SELECT doc_id, lang, n_chars, {_URL_SYNTH_SQL} AS url FROM documents
+), parsed AS (
+  SELECT lang, n_chars,
+         regexp_extract(url, '^([a-z][a-z0-9+.\\-]*)://([^/?#]+)', 2) AS host
+  FROM pages
+), dom AS (
+  SELECT lang, n_chars, host,
+         regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM parsed
+)
+SELECT domain, COUNT(*) AS n_pages, COUNT(DISTINCT host) AS n_hosts,
+       COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS sum_chars
+FROM dom GROUP BY domain ORDER BY domain
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1830,4 +1879,5 @@ REGISTRY = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
 }
