@@ -1831,6 +1831,47 @@ FROM dom GROUP BY domain ORDER BY domain
 """
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile pyramid (pipelines/pyramid.py): per-cell page
+    counts at zooms 4..0 over the arithmetic grid (16×16 base = zoom 4),
+    from ONE corpus scan — coarser zooms cascade over the previous
+    level's aggregate by quadtree parent arithmetic, never re-scanning
+    points (the property that makes the pyramid free at 100 TB)."""
+    from . import pyramid as pyrmod
+    from ..functions.geocode import ARITH_NX
+
+    ds = _docs_with_points(sf_dir)
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        k = batch["tile_key"].to_numpy().astype(np.int64)
+        return pa.table({"tx": pa.array(k % ARITH_NX),
+                         "ty": pa.array(k // ARITH_NX)})
+
+    pts = ds.map_batches(split_key, batch_format="pyarrow")
+    return pyrmod.pyramid_counts(pts, "tx", "ty", base_zoom=4, min_zoom=0)
+
+
+def _sql_tile_pyramid() -> str:
+    levels = []
+    for z in range(4, -1, -1):
+        shift = 1 << (4 - z)
+        levels.append(
+            f"SELECT {z} AS zoom, (ty // {shift}) * {1 << z} + "
+            f"(tx // {shift}) AS cell_key, SUM(n) AS n_pages "
+            f"FROM base GROUP BY 2")
+    return _geo_cte() + f""",
+base AS (
+  SELECT tile_key % 16 AS tx, tile_key // 16 AS ty, count(*) AS n
+  FROM tiled GROUP BY 1, 2
+)
+SELECT zoom, cell_key, n_pages FROM ({" UNION ALL ".join(levels)})
+ORDER BY zoom, cell_key
+"""
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1880,4 +1921,5 @@ REGISTRY = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
 }
