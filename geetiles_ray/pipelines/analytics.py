@@ -259,3 +259,88 @@ def stratified_sample(ds: ray.data.Dataset, key_col: str, strata_col: str,
         return df[full | (h < t)]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+# ------------------------------------------------------ hierarchical rollup
+
+def rollup(ds: ray.data.Dataset, hierarchy: list[str], value_col: str,
+           all_label: str = "ALL", reduce: str = "driver") -> pd.DataFrame:
+    """GROUP BY ROLLUP(hierarchy): per-level subtotals with coarser levels
+    filling their dropped keys with ``all_label`` (SQL's NULL marker, made
+    an explicit string so schemas stay non-null).
+
+    Scale shape mirrors pipelines/pyramid.py: ONE corpus scan emits
+    combiner partials per full key tuple (count + sum), one fold produces
+    the finest level, and every coarser subtotal cascades over the
+    previous level's aggregate — subtotal cost is dimension-sized,
+    independent of corpus size. The cascade itself runs on the driver
+    because a rollup result is a report (|distinct tuples| rows); a
+    corpus-keyed hierarchy (per-url!) is not a rollup use case.
+    ``value_col`` should be integer (e.g. currency cents) when the SQL
+    twin must value-hash-match: cascaded integer sums are
+    order-independent, float sums are not."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(hierarchy).aggregate(
+            [(value_col, "sum"), (value_col, "count")])
+        return t.rename_columns(hierarchy + ["__sum", "__n"])
+
+    partial = ds.select_columns(hierarchy + [value_col]) \
+        .map_batches(local, batch_format="pyarrow")
+    if reduce == "shuffle":
+        base = partial.groupby(hierarchy).sum(["__sum", "__n"]).to_pandas() \
+            .rename(columns={"sum(__sum)": "__sum", "sum(__n)": "__n"})
+    else:
+        frames = [b for b in partial.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pandas")]
+        allp = pd.concat(frames, ignore_index=True) if frames \
+            else pd.DataFrame(columns=hierarchy + ["__sum", "__n"])
+        base = allp.groupby(hierarchy, sort=False, dropna=False) \
+            .agg(__sum=("__sum", "sum"), __n=("__n", "sum")).reset_index()
+
+    levels = [base]
+    lvl = base
+    for depth in range(len(hierarchy) - 1, -1, -1):
+        keys = hierarchy[:depth]
+        if keys:
+            nxt = lvl.groupby(keys, sort=False, dropna=False) \
+                .agg(__sum=("__sum", "sum"), __n=("__n", "sum")).reset_index()
+        else:
+            nxt = pd.DataFrame({"__sum": [lvl["__sum"].sum()],
+                                "__n": [lvl["__n"].sum()]})
+        for c in hierarchy[depth:]:
+            nxt[c] = all_label
+        levels.append(nxt[hierarchy + ["__sum", "__n"]])
+        lvl = nxt
+    out = pd.concat(levels, ignore_index=True) \
+        .sort_values(hierarchy, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+# ------------------------------------------------- running (cumulative) agg
+
+def running_total(ds: ray.data.Dataset, key: str, order_cols: list[str],
+                  value_col: str, out_col: str = "running_sum",
+                  nbuckets: int = 32) -> ray.data.Dataset:
+    """Per-key cumulative sum in ``order_cols`` order (SQL:
+    SUM(value) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING)). One hash exchange co-locates each key's rows
+    (stages/temporal.grouped_apply — sort or probed-hash plan), the
+    kernel is one vectorized sort + groupby-cumsum per bucket. Integer
+    ``value_col`` gives engine-exact results (cumulative FLOAT sums are
+    order-defined and match only engines replaying the same order —
+    which the kernel does, but keep ints where the oracle must hash)."""
+    from ..stages.temporal import _key_hash, grouped_apply
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([key] + order_cols, kind="mergesort")
+        d[out_col] = d.groupby(key, sort=False)[value_col].cumsum()
+        return d.drop(columns=["__bucket"])
+
+    return grouped_apply(tagged, kernel, nbuckets)

@@ -1872,6 +1872,103 @@ ORDER BY zoom, cell_key
 SQL_TILE_PYRAMID = _sql_tile_pyramid()
 
 
+def q_sales_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) over order revenue
+    (analytics.rollup): region⊃nation subtotals + grand total cascade
+    from ONE orders scan — customer→nation→region is the
+    broadcast-dimension pattern, revenue is exact integer cents so the
+    cascaded sums hash-match SQL regardless of addition order."""
+    from . import analytics as anmod
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    nation_of = dict(zip(dim.c_custkey, dim.n_name))
+    region_of = dict(zip(dim.c_custkey, dim.r_name))
+    import ray as _ray
+    dim_ref = _ray.put((nation_of, region_of))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        nation_of, region_of = _ray.get(dim_ref)
+        # DuckDB ROUND = half away from zero → floor(x+0.5) for positives
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({"region": df["o_custkey"].map(region_of),
+                             "nation": df["o_custkey"].map(nation_of),
+                             "cents": cents})
+
+    enriched = orders.map_batches(enrich, batch_format="pandas")
+    out = anmod.rollup(enriched, ["region", "nation"], "cents")
+    out = out.rename(columns={"__n": "n_orders", "__sum": "sum_cents"})
+    return out[["region", "nation", "n_orders", "sum_cents"]] \
+        .astype({"n_orders": "int64", "sum_cents": "int64"})
+
+
+SQL_SALES_ROLLUP = """
+WITH o AS (
+  SELECT r_name AS region, n_name AS nation,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT COALESCE(region, 'ALL') AS region, COALESCE(nation, 'ALL') AS nation,
+       COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+FROM o GROUP BY ROLLUP(region, nation)
+ORDER BY region, nation
+"""
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user cumulative revenue in event order (analytics.
+    running_total — the windowed-aggregate twin of SQL's SUM() OVER
+    (PARTITION BY … ORDER BY … ROWS UNBOUNDED PRECEDING)): one hash
+    exchange co-locates each user's events, the kernel is a vectorized
+    sort + groupby-cumsum. Integer cents → the cumulative values are
+    engine-exact at every prefix."""
+    from . import analytics as anmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "cents": pa.array(c)})
+
+    out = anmod.running_total(ev.map_batches(cents, batch_format="pyarrow"),
+                              key="user_id", order_cols=["ts", "event_id"],
+                              value_col="cents", out_col="running_cents")
+    df = out.to_pandas().sort_values(["user_id", "ts", "event_id"]) \
+        .reset_index(drop=True)
+    return df[["event_id", "user_id", "ts", "cents", "running_cents"]] \
+        .astype({"cents": "int64", "running_cents": "int64"})
+
+
+SQL_RUNNING_TOTALS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts, cents,
+       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_cents
+FROM e ORDER BY user_id, ts, event_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -1922,4 +2019,6 @@ REGISTRY = {
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
+    "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
 }

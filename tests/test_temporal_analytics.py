@@ -296,3 +296,67 @@ class TestStratifiedSample:
         assert an.sample_threshold(1, 1) == 1 << 64
         with pytest.raises(ValueError):
             an.sample_threshold(3, 2)
+
+
+class TestRollup:
+    def _frame(self):
+        rng = np.random.default_rng(11)
+        return pd.DataFrame({
+            "region": rng.choice(["EU", "NA", "AS"], 400),
+            "nation": rng.choice(["a", "b", "c", "d"], 400),
+            "cents": rng.integers(1, 10_000, 400).astype("int64"),
+        })
+
+    def test_matches_pandas_rollup(self):
+        df = self._frame()
+        got = an.rollup(ray.data.from_pandas(df),
+                               ["region", "nation"], "cents")
+        fine = df.groupby(["region", "nation"]).agg(
+            __sum=("cents", "sum"), __n=("cents", "size")).reset_index()
+        mid = df.groupby("region").agg(
+            __sum=("cents", "sum"), __n=("cents", "size")).reset_index()
+        mid["nation"] = "ALL"
+        top = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                            "__sum": [df.cents.sum()], "__n": [len(df)]})
+        exp = pd.concat([fine, mid, top], ignore_index=True) \
+            .sort_values(["region", "nation"], kind="mergesort") \
+            .reset_index(drop=True)[["region", "nation", "__sum", "__n"]]
+        pd.testing.assert_frame_equal(
+            got[["region", "nation", "__sum", "__n"]].astype(
+                {"__sum": "int64", "__n": "int64"}),
+            exp.astype({"__sum": "int64", "__n": "int64"}))
+
+    def test_shuffle_reduce_parity(self):
+        df = self._frame()
+        ds = ray.data.from_pandas(df)
+        a = an.rollup(ds, ["region", "nation"], "cents",
+                             reduce="driver")
+        b = an.rollup(ds, ["region", "nation"], "cents",
+                             reduce="shuffle")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True).astype({"__sum": "int64",
+                                             "__n": "int64"}),
+            b[a.columns].reset_index(drop=True).astype({"__sum": "int64",
+                                                        "__n": "int64"}))
+
+
+class TestRunningTotal:
+    def test_matches_pandas_window(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "event_id": np.arange(600, dtype="int64"),
+            "user_id": rng.integers(0, 25, 600).astype("int64"),
+            "ts": rng.integers(0, 100, 600).astype("int64"),
+            "cents": rng.integers(-50, 500, 600).astype("int64"),
+        })
+        got = an.running_total(
+            ray.data.from_pandas(df), key="user_id",
+            order_cols=["ts", "event_id"], value_col="cents",
+            out_col="run").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = df.sort_values(["user_id", "ts", "event_id"])
+        exp["run"] = exp.groupby("user_id").cents.cumsum()
+        exp = exp.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["event_id", "user_id", "ts", "cents", "run"]].astype("int64"),
+            exp[["event_id", "user_id", "ts", "cents", "run"]].astype("int64"))
