@@ -344,3 +344,47 @@ def running_total(ds: ray.data.Dataset, key: str, order_cols: list[str],
         return d.drop(columns=["__bucket"])
 
     return grouped_apply(tagged, kernel, nbuckets)
+
+
+# ------------------------------------------------------- inverted index
+
+def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text") -> ray.data.Dataset:
+    """Inverted-index statistics: per token → document frequency (distinct
+    docs), term frequency (total occurrences) and the posting head (min
+    doc id). Tokens are the LangId/top_tokens tokenizer (lowercase,
+    whitespace split, edge punctuation stripped), so the SQL twin is
+    shared across the text operators.
+
+    Combiner shape: each block ships ≤ |block vocab| rows — (token, tf,
+    df, min_doc) partials with within-doc repeats already collapsed for
+    df — into ONE hash aggregation keyed by token. Zipf guarantees the
+    partials compress hard (the head of the vocabulary dominates every
+    block); the full postings-list materialization (doc-id arrays per
+    token) is deliberately NOT built here — that is a write-side layout
+    (sort by (token, doc_id) and write partitioned Parquet), not an
+    aggregate."""
+    from ray.data.aggregate import Min, Sum
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        docs = df[id_col].reindex(toks.index)
+        t = pd.DataFrame({"token": toks.to_numpy(),
+                          "doc": docs.to_numpy()})
+        tf = t.groupby("token", sort=False).agg(
+            __tf=("doc", "size"), __min=("doc", "min"))
+        dedup = t.drop_duplicates()
+        dfreq = dedup.groupby("token", sort=False).size().rename("__df")
+        out = tf.join(dfreq).reset_index()
+        return out.astype({"__tf": "int64", "__df": "int64",
+                           "__min": "int64"})
+
+    partial = ds.select_columns([id_col, text_col]) \
+        .map_batches(local, batch_format="pandas")
+    agg = partial.groupby("token").aggregate(
+        Sum("__df", alias_name="df"), Sum("__tf", alias_name="tf"),
+        Min("__min", alias_name="first_doc"))
+    return agg

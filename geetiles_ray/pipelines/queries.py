@@ -1969,6 +1969,40 @@ FROM e ORDER BY user_id, ts, event_id
 """
 
 
+def q_token_postings(sf_dir: str):
+    """Inverted-index statistics (analytics.token_postings): token →
+    document frequency / term frequency / posting head, one combiner
+    scan + one vocabulary-keyed aggregation."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = anmod.token_postings(docs).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    return out[["token", "df", "tf", "first_doc"]] \
+        .astype({"df": "int64", "tf": "int64", "first_doc": "int64"})
+
+
+def _sql_token_postings() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+)
+SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+       MIN(doc_id) AS first_doc
+FROM t2 GROUP BY token ORDER BY token
+"""
+
+
+SQL_TOKEN_POSTINGS = _sql_token_postings()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2021,4 +2055,5 @@ REGISTRY = {
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
 }

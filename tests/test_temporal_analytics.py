@@ -360,3 +360,20 @@ class TestRunningTotal:
         pd.testing.assert_frame_equal(
             got[["event_id", "user_id", "ts", "cents", "run"]].astype("int64"),
             exp[["event_id", "user_id", "ts", "cents", "run"]].astype("int64"))
+
+
+class TestTokenPostings:
+    def test_matches_brute(self):
+        df = pd.DataFrame({
+            "doc_id": [3, 1, 2],
+            "text": ["The cat, the hat!", "cat cat dog", "Bird."],
+        })
+        got = an.token_postings(_ds(df, nblocks=3)).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        exp = pd.DataFrame([
+            ("bird", 1, 1, 2), ("cat", 2, 3, 1), ("dog", 1, 1, 1),
+            ("hat", 1, 1, 3), ("the", 1, 2, 3),
+        ], columns=["token", "df", "tf", "first_doc"])
+        pd.testing.assert_frame_equal(
+            got[["token", "df", "tf", "first_doc"]].astype(
+                {"df": "int64", "tf": "int64", "first_doc": "int64"}), exp)
