@@ -38,7 +38,10 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "asof_join_events", "purchase_window_events",
                  "top_orders_per_customer", "price_quantiles",
                  "top_tokens", "stratified_sample",
-                 "kmeans_clusters", "ann_lsh"]
+                 "kmeans_clusters", "ann_lsh",
+                 # round-3b operators
+                 "segment_dedup", "domain_stats", "tile_pyramid",
+                 "sales_rollup", "running_totals", "token_postings"]
 
 
 def host_probe() -> dict:

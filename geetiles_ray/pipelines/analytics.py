@@ -388,3 +388,94 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
         Sum("__df", alias_name="df"), Sum("__tf", alias_name="tf"),
         Min("__min", alias_name="first_doc"))
     return agg
+
+
+# ------------------------------------------------------------------ TF-IDF
+
+def tfidf_topk(ds: ray.data.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 3,
+               n_docs: int | None = None,
+               df_map: dict | None = None) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF terms per document (idf = ln((N+1)/(df+1)) + 1,
+    score = round(tf·idf, 6); ties rank by token asc).
+
+    Two-phase: the document-frequency table comes from ``token_postings``
+    (vocabulary-sized — Zipf caps it far below corpus size) and is
+    broadcast once via ``ray.put``; the scoring pass is then PURELY
+    map-side — each doc's rows live in one batch, so per-doc top-k needs
+    no exchange at all. Pass ``df_map``/``n_docs`` to reuse a postings
+    table already built (e.g. by the same curation pipeline)."""
+    import ray as _ray
+
+    if df_map is None:
+        post = token_postings(ds, id_col, text_col).to_pandas()
+        df_map = dict(zip(post.token, post.df.astype("int64")))
+    if n_docs is None:
+        n_docs = ds.count()
+    df_ref = _ray.put(df_map)
+    n1 = float(n_docs + 1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfm = _ray.get(df_ref)
+        toks = df[text_col].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        t = pd.DataFrame({"doc_id": df[id_col].reindex(toks.index).to_numpy(),
+                          "token": toks.to_numpy()})
+        tf = t.groupby(["doc_id", "token"], sort=False).size() \
+            .rename("tf").reset_index()
+        dfv = tf.token.map(dfm).to_numpy(dtype=np.float64)
+        idf = np.log(n1 / (dfv + 1.0)) + 1.0
+        tf["score"] = np.round(tf.tf.to_numpy() * idf, 6)
+        d = tf.sort_values(["doc_id", "score", "token"],
+                           ascending=[True, False, True], kind="mergesort")
+        r = d.groupby("doc_id", sort=False).cumcount().to_numpy()
+        d = d[r < k].assign(rank=(r[r < k] + 1).astype("int64"))
+        d["tf"] = d["tf"].astype("int64")
+        return d[["doc_id", "token", "tf", "score", "rank"]]
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pandas")
+
+
+# ------------------------------------------------------- grouped quantiles
+
+def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
+                      qs: list[float], nbuckets: int = 32) -> pd.DataFrame:
+    """Per-key exact discrete quantiles (rank ceil(q·n)−1 per group —
+    quantile_disc semantics, same as the global ``quantiles_exact``).
+    One key-hash exchange co-locates each group; the kernel is one sort +
+    vectorized rank gather per bucket (no per-group Python). Output is
+    long format: (key, q, value), |keys|·|qs| rows — group-count-sized,
+    so the driver collect is a report, not a corpus."""
+    from ..stages.temporal import _key_hash, grouped_apply
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.select_columns([key, col]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df[key], "q": [], "value": []})
+        d = df.sort_values([key, col], kind="mergesort")
+        kk = d[key].to_numpy()
+        vv = d[col].to_numpy()
+        new = np.empty(len(kk), dtype=bool)
+        new[0] = True
+        new[1:] = kk[1:] != kk[:-1]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(kk)))
+        frames = []
+        for q in qs:
+            ranks = np.maximum(np.ceil(q * counts).astype(np.int64), 1) - 1
+            frames.append(pd.DataFrame({key: kk[starts],
+                                        "q": np.full(len(starts), q),
+                                        "value": vv[starts + ranks]}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = grouped_apply(tagged, kernel, nbuckets).to_pandas()
+    return out.sort_values([key, "q"]).reset_index(drop=True)

@@ -2003,6 +2003,116 @@ FROM t2 GROUP BY token ORDER BY token
 SQL_TOKEN_POSTINGS = _sql_token_postings()
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (analytics.tfidf_topk): the
+    vocabulary-sized df table broadcasts, the scoring + per-doc top-k is
+    purely map-side (a doc's rows never leave their batch)."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = anmod.tfidf_topk(docs, k=3).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return out.astype({"tf": "int64", "rank": "int64"})
+
+
+def _sql_tfidf_terms() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM t2 GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * (LN((n.n + 1) / CAST(dfq.df + 1 AS DOUBLE)) + 1), 6)
+           AS score
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, score, "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS "rank"
+  FROM scored
+) WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+"""
+
+
+SQL_TFIDF_TERMS = _sql_tfidf_terms()
+
+
+_GQ_QS = [0.25, 0.5, 0.75]
+
+
+def q_lang_quantiles(sf_dir: str):
+    """Per-language exact document-length percentiles (analytics.
+    grouped_quantiles — the per-group twin of price_quantiles):
+    quantile_disc rank semantics inside every group, one key-hash
+    exchange, group-count-sized output."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "n_chars"])
+    out = anmod.grouped_quantiles(docs, "lang", "n_chars", _GQ_QS)
+    out["value"] = out["value"].astype("int64")
+    return out
+
+
+SQL_LANG_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT lang, {q}::DOUBLE AS q, "
+    f"quantile_disc(n_chars, {q}) AS value FROM documents GROUP BY lang"
+    for q in _GQ_QS) + "\nORDER BY lang, q"
+
+
+def q_quality_filter(sf_dir: str):
+    """Percentile-gated curation filter: score every doc (mean chars per
+    whitespace token — an exact-division quality proxy), find the global
+    p25 with the exact distributed quantile operator, keep docs at or
+    above it. The threshold is ONE scalar (quantiles_exact's
+    histogram-locate-fetch — no sort), the filter is map-side: the
+    curation pipeline shape at 100 TB."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def scorefn(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = df.text.str.len().astype("int64")
+        n_toks = (df.text.str.count(" ") + 1).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df.doc_id,
+            "qual": (n_chars / n_toks.clip(lower=1)).round(6)})
+
+    scored = docs.map_batches(scorefn, batch_format="pandas")
+    thr = float(anmod.quantiles_exact(scored, "qual", [0.25]).value[0])
+    out = scored.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["qual"], thr)),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUALITY_FILTER = """
+WITH scored AS (
+  SELECT doc_id,
+         ROUND(LENGTH(text) /
+               CAST(GREATEST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                             + 1, 1) AS DOUBLE), 6) AS qual
+  FROM documents
+)
+SELECT doc_id, qual FROM scored
+WHERE qual >= (SELECT quantile_disc(qual, 0.25) FROM scored)
+ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2056,4 +2166,7 @@ REGISTRY = {
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
 }

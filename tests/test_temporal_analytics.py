@@ -377,3 +377,55 @@ class TestTokenPostings:
         pd.testing.assert_frame_equal(
             got[["token", "df", "tf", "first_doc"]].astype(
                 {"df": "int64", "tf": "int64", "first_doc": "int64"}), exp)
+
+
+class TestTfidf:
+    def test_matches_brute(self):
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["cat cat dog", "dog bird", "cat fish fish fish"],
+        })
+        got = an.tfidf_topk(_ds(df, nblocks=2), k=2).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        import math
+        n1 = 4.0
+        def idf(d): return math.log(n1 / (d + 1)) + 1
+        # df: cat=2 dog=2 bird=1 fish=1
+        exp_top = {0: [("cat", 2), ("dog", 1)],
+                   1: [("bird", 1), ("dog", 1)],
+                   2: [("fish", 3), ("cat", 1)]}
+        dfs = {"cat": 2, "dog": 2, "bird": 1, "fish": 1}
+        for doc, terms in exp_top.items():
+            rows = got[got.doc_id == doc].reset_index(drop=True)
+            assert list(rows.token) == [t for t, _ in terms], doc
+            for i, (t, tf) in enumerate(terms):
+                assert rows.tf[i] == tf
+                assert abs(rows.score[i] - round(tf * idf(dfs[t]), 6)) < 1e-9
+        assert list(got["rank"]) == [1, 2] * 3
+
+    def test_reuses_prebuilt_df_table(self):
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b c"]})
+        got = an.tfidf_topk(_ds(df, 1), k=1,
+                            n_docs=2, df_map={"a": 1, "b": 2, "c": 1}) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.token) == ["a", "c"]  # rare tokens outscore b
+
+
+class TestGroupedQuantiles:
+    def test_matches_nearest_rank(self):
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({"k": rng.choice(["x", "y", "z"], 500),
+                           "v": rng.integers(0, 1000, 500).astype("int64")})
+        qs = [0.25, 0.5, 0.75]
+        got = an.grouped_quantiles(_ds(df), "k", "v", qs)
+        for k, g in df.groupby("k"):
+            s = np.sort(g.v.to_numpy())
+            for q in qs:
+                rank = max(int(np.ceil(q * len(s))), 1) - 1
+                row = got[(got.k == k) & (got.q == q)]
+                assert int(row.value.iloc[0]) == s[rank], (k, q)
+
+    def test_single_element_groups(self):
+        df = pd.DataFrame({"k": ["a", "b"], "v": [5, 7]})
+        got = an.grouped_quantiles(_ds(df, 1), "k", "v", [0.5])
+        assert list(got.value) == [5, 7]
