@@ -2113,6 +2113,42 @@ ORDER BY doc_id
 """
 
 
+def q_orders_join_bloom(sf_dir: str):
+    """Bloom exchange-bypass join (joins.join_on_identifier_bloom): orders
+    LEFT JOIN a *selective* customer slice (acctbal > 9000) — most orders
+    provably have no match and bypass the hash exchange map-side with
+    typed-null right columns; only Bloom-positive rows shuffle. The
+    oracle's LEFT JOIN value-hashes both the matched and the bypassed
+    rows, so the bypass split is correctness-checked, not just the happy
+    path."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["c_acctbal"], 9000.0)),
+        batch_format="pyarrow").select_columns(["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name"]),
+        batch_format="pyarrow")
+    joined = joinsmod.join_on_identifier_bloom(
+        orders, cust, key="o_custkey", right_cols=["c_name"], nbits=1 << 16)
+    out = joined.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    out["c_name"] = out["c_name"].fillna("NONE")
+    return out[["o_orderkey", "o_custkey", "c_name", "o_totalprice"]]
+
+
+SQL_ORDERS_JOIN_BLOOM = """
+SELECT o_orderkey, o_custkey, COALESCE(c_name, 'NONE') AS c_name,
+       o_totalprice
+FROM orders LEFT JOIN (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+) ON o_custkey = c_custkey
+ORDER BY o_orderkey
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2169,4 +2205,5 @@ REGISTRY = {
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
     "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
 }

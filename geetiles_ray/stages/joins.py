@@ -326,3 +326,109 @@ def semi_join_ids(ds: ray.data.Dataset, ids, col: str = "identifier",
             return batch.filter(pc.invert(mask) if anti else mask)
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2)
+
+
+# ----------------------------------------------------- Bloom join pre-filter
+
+_BLOOM_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)  # second hash family multiplier
+
+
+def _bloom_positions(h1: np.ndarray, nbits: int, nhashes: int):
+    """Double-hashing Bloom positions: idx_i = (h1 + i·h2) mod nbits with
+    h2 a remix of h1 — the standard Kirsch–Mitzenmacher scheme (two hash
+    evaluations give the accuracy of nhashes independent ones)."""
+    h2 = (h1 * _BLOOM_MIX2) | np.uint64(1)  # odd → never strides to 0
+    for i in range(nhashes):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(nbits)
+
+
+def key_bloom(ds: ray.data.Dataset, key: str, nbits: int = 1 << 23,
+              nhashes: int = 2):
+    """Build a Bloom filter over ``ds[key]`` and ``ray.put`` its word
+    array. Narrow column-pruned scan; each block ships ONE nbits/8-byte
+    bitset partial (1 MiB at the default 8M bits) which the driver ORs —
+    constant-size per block regardless of rows. At the default size the
+    false-positive rate is ~(1-e^(-kn/m))^k ≈ 4% at 10M keys."""
+    from .temporal import _key_hash
+
+    assert nbits % 64 == 0
+    nwords = nbits // 64
+
+    def local(batch: pa.Table) -> pa.Table:
+        words = np.zeros(nwords, dtype=np.uint64)
+        if len(batch):
+            h1 = _key_hash(batch[key])
+            for idx in _bloom_positions(h1, nbits, nhashes):
+                np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"__words": pa.array([words.tobytes()],
+                                             type=pa.binary())})
+
+    acc = np.zeros(nwords, dtype=np.uint64)
+    for b in ds.select_columns([key]).map_batches(
+            local, batch_format="pyarrow").iter_batches(
+            batch_size=64, batch_format="pyarrow"):
+        for blob in b["__words"].to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+    return ray.put(acc)
+
+
+def bloom_member(words: np.ndarray, h1: np.ndarray, nbits: int,
+                 nhashes: int) -> np.ndarray:
+    """Vectorized membership probe (no false negatives)."""
+    member = np.ones(len(h1), dtype=bool)
+    for idx in _bloom_positions(h1, nbits, nhashes):
+        w = words[(idx >> np.uint64(6)).astype(np.int64)]
+        member &= ((w >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return member
+
+
+def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
+                             key: str = "identifier",
+                             right_cols: list[str] | None = None,
+                             nbuckets: int = 32, nbits: int = 1 << 23,
+                             nhashes: int = 2) -> ray.data.Dataset:
+    """join_on_identifier with a Bloom exchange-bypass: left rows whose key
+    is PROVABLY absent from the right side (Bloom filters have no false
+    negatives) never enter the hash exchange — they take a map-side path
+    that pads the right columns with typed nulls, preserving exact LEFT
+    JOIN semantics. Bloom false positives merely ride the exchange and
+    fall out of the merge as ordinary non-matches.
+
+    The 100-TB case this exists for: a crawl joined against a
+    much-smaller-than-the-crawl (but too big to broadcast as values)
+    reference table — e.g. 10¹² pages ⋈ 10⁹ flagged urls. The bitset is
+    O(nbits) however big the right side is; with a selective right side
+    the exchange shrinks by the non-match fraction, which is the whole
+    shuffle at high selectivity."""
+    from .temporal import _key_hash
+
+    bloom_ref = key_bloom(right, key, nbits, nhashes)
+    rcols = right_cols or [c for c in right.schema().names if c != key]
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+
+    def split(want_hit: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            if not len(batch):
+                return batch
+            words = ray.get(bloom_ref)
+            m = bloom_member(words, _key_hash(batch[key]), nbits, nhashes)
+            return batch.filter(pa.array(m if want_hit else ~m))
+        return f
+
+    maybe = left.map_batches(split(True), batch_format="pyarrow")
+    never = left.map_batches(split(False), batch_format="pyarrow")
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        out = {n: batch[n] for n in batch.column_names}
+        for c in rcols:
+            out[c] = pa.nulls(len(batch), r_schema[c])
+        return pa.table(out)
+
+    joined = join_on_identifier(maybe, right, key, rcols, nbuckets)
+    # the merge kernel emits exactly left-columns + rcols; order the
+    # bypass identically WITHOUT joined.schema() (which would execute)
+    out_names = list(left.schema().names) + rcols
+    bypass = never.map_batches(pad_right, batch_format="pyarrow") \
+        .select_columns(out_names)
+    return joined.union(bypass)

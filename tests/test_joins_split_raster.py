@@ -4,6 +4,7 @@ import os
 import pickle
 import zipfile
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -330,3 +331,67 @@ class TestTiffCodec:
             assert (a == b).all()
             assert np.allclose(bounds, (1, 2, 3, 4))
             assert names == ["x", "y", "z"]
+
+
+class TestBloomJoin:
+    def _sides(self):
+        rng = np.random.default_rng(13)
+        left = pd.DataFrame({
+            "identifier": rng.integers(0, 2000, 800).astype("int64"),
+            "lv": np.arange(800, dtype="int64"),
+        })
+        # right covers only a small slice of the key space → most left rows
+        # should bypass the exchange
+        right = pd.DataFrame({
+            "identifier": np.arange(0, 120, dtype="int64"),
+            "rv": np.arange(0, 120, dtype="int64") * 10,
+        })
+        return left, right
+
+    def test_parity_with_plain_join(self):
+        from geetiles_ray.stages import joins
+        left, right = self._sides()
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+        a = joins.join_on_identifier(lds, rds).to_pandas() \
+            .sort_values(["identifier", "lv"]).reset_index(drop=True)
+        b = joins.join_on_identifier_bloom(lds, rds).to_pandas() \
+            .sort_values(["identifier", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["identifier", "lv", "rv"]].astype({"rv": "float64"}),
+            b[["identifier", "lv", "rv"]].astype({"rv": "float64"}))
+        # and both equal the pandas left join
+        exp = left.merge(right, on="identifier", how="left") \
+            .sort_values(["identifier", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["identifier", "lv", "rv"]].astype({"rv": "float64"}),
+            exp[["identifier", "lv", "rv"]].astype({"rv": "float64"}))
+
+    def test_tiny_filter_false_positives_are_harmless(self):
+        from geetiles_ray.stages import joins
+        left, right = self._sides()
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+        # 256-bit filter → massive false-positive rate; correctness must hold
+        b = joins.join_on_identifier_bloom(lds, rds, nbits=256).to_pandas() \
+            .sort_values(["identifier", "lv"]).reset_index(drop=True)
+        exp = left.merge(right, on="identifier", how="left") \
+            .sort_values(["identifier", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            b[["identifier", "lv", "rv"]].astype({"rv": "float64"}),
+            exp[["identifier", "lv", "rv"]].astype({"rv": "float64"}))
+
+    def test_bloom_no_false_negatives(self):
+        from geetiles_ray.stages import joins
+        import pyarrow as pa
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 10**12, 5000).astype("int64")
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+        ref = joins.key_bloom(ds, "k", nbits=1 << 16)
+        words = ray.get(ref)
+        from geetiles_ray.stages.temporal import _key_hash
+        h = _key_hash(pa.chunked_array([pa.array(keys)]))
+        assert joins.bloom_member(words, h, 1 << 16, 2).all()
+        # non-member false-positive rate is bounded (~1% at this sizing)
+        other = _key_hash(pa.chunked_array(
+            [pa.array(rng.integers(10**12, 2 * 10**12, 5000).astype("int64"))]))
+        fp = joins.bloom_member(words, other, 1 << 16, 2).mean()
+        assert fp < 0.1, fp
