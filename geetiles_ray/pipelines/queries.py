@@ -2149,6 +2149,80 @@ ORDER BY o_orderkey
 """
 
 
+def q_events_zscore(sf_dir: str):
+    """Per-event-type z-score normalization (feature scaling for training
+    pipelines): group statistics from ONE combiner scan over exact integer
+    cents (sum + sum-of-squares partials — order-independent, so the
+    engine-vs-SQL hash matches), broadcast as a tiny dict, then the
+    normalization itself is map-side. The explicit population formula
+    var = E[x²] − E[x]² is used on BOTH sides (DuckDB's own stddev uses a
+    different accumulation and would not hash-match)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    evc = ev.map_batches(cents, batch_format="pyarrow")
+
+    def stats_local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["cents"]
+        s = g.sum().astype("int64")
+        s2 = (df["cents"] * df["cents"]).groupby(df["event_type"],
+                                                 sort=False).sum()
+        return pd.DataFrame({"event_type": s.index, "__s": s.to_numpy(),
+                             "__s2": s2.to_numpy().astype("int64"),
+                             "__n": g.size().to_numpy().astype("int64")})
+
+    partials = evc.map_batches(stats_local, batch_format="pandas") \
+        .to_pandas().groupby("event_type").sum()
+    mean = partials["__s"] / partials["__n"]
+    var = partials["__s2"] / partials["__n"] - mean * mean
+    std = np.sqrt(var)
+    import ray as _ray
+    stats_ref = _ray.put((dict(mean), dict(std)))
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        m, s = _ray.get(stats_ref)
+        mu = df["event_type"].map(m).to_numpy()
+        sd = df["event_type"].map(s).to_numpy()
+        z = (df["cents"].to_numpy() - mu) / sd
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "event_type": df["event_type"],
+                             "cents": df["cents"],
+                             "z": np.round(z, 6)})
+
+    out = evc.map_batches(norm, batch_format="pandas").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return out.astype({"cents": "int64"})
+
+
+SQL_EVENTS_ZSCORE = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT event_type, SUM(cents) AS s, SUM(cents * cents) AS s2,
+         COUNT(*) AS n
+  FROM e GROUP BY event_type
+), m AS (
+  SELECT event_type, s / CAST(n AS DOUBLE) AS mean,
+         SQRT(s2 / CAST(n AS DOUBLE)
+              - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS std
+  FROM st
+)
+SELECT event_id, e.event_type, cents,
+       ROUND((cents - mean) / std, 6) AS z
+FROM e JOIN m ON e.event_type = m.event_type
+ORDER BY event_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2206,4 +2280,5 @@ REGISTRY = {
     "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
+    "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
 }
