@@ -234,3 +234,63 @@ def segment_dedup(ds: ray.data.Dataset, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ns: tuple = (2, 3)) -> ray.data.Dataset:
+    """Gopher-style within-document repetition features: for each word
+    n-gram size in ``ns``, the total number of (sliding) n-grams and the
+    duplicate fraction 1 − distinct/total — the classic quality filter
+    for machine-generated / keyword-stuffed pages. PURELY map-side (each
+    doc's windows live in its batch): one explode + one vectorized
+    sliding-window hash fold per n; n-grams are identified by the same
+    128-bit positional fold as segment_dedup (no n-gram strings built).
+
+    Output adds, per n: ``ng{n}_total`` (int64) and ``ng{n}_dup_frac``
+    (round 6; 0.0 when a doc has no full window)."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        nrows = len(texts)
+        cols = {c: batch[c] for c in batch.column_names}
+        if nrows == 0:
+            for n in ns:
+                cols[f"ng{n}_total"] = pa.array([], type=pa.int64())
+                cols[f"ng{n}_dup_frac"] = pa.array([], type=pa.float64())
+            return pa.table(cols)
+        flat, row_of, pos, lens = _explode(texts, "words", 1)
+        h1, h2 = _word_hashes(flat)
+        nw = len(flat)
+        for n in ns:
+            total = np.maximum(lens - n + 1, 0).astype(np.int64)
+            if nw >= n:
+                # sliding fold over the whole flat array; windows crossing
+                # a doc boundary are masked out (their ends differ in row)
+                w1 = np.lib.stride_tricks.sliding_window_view(h1, n)
+                w2 = np.lib.stride_tricks.sliding_window_view(h2, n)
+                powv = _POW_BASE ** np.arange(n, dtype=np.uint64)
+                g1 = (w1 * powv[None, :]).sum(axis=1)
+                g2 = (w2 * powv[None, :]).sum(axis=1)
+                valid = row_of[:nw - n + 1] == row_of[n - 1:]
+                rows = row_of[:nw - n + 1][valid]
+                g1, g2 = g1[valid], g2[valid]
+                order = np.lexsort((g2, g1, rows))
+                rs, a, b = rows[order], g1[order], g2[order]
+                uniq = np.empty(len(rs), dtype=bool)
+                if len(rs):
+                    uniq[0] = True
+                    uniq[1:] = (rs[1:] != rs[:-1]) | (a[1:] != a[:-1]) \
+                        | (b[1:] != b[:-1])
+                distinct = np.bincount(rs[uniq], minlength=nrows) \
+                    .astype(np.int64)
+            else:
+                distinct = np.zeros(nrows, dtype=np.int64)
+            frac = np.zeros(nrows, dtype=np.float64)
+            nz = total > 0
+            frac[nz] = np.round(1.0 - distinct[nz] / total[nz], 6)
+            cols[f"ng{n}_total"] = pa.array(total)
+            cols[f"ng{n}_dup_frac"] = pa.array(frac)
+        return pa.table(cols)
+
+    return ds.map_batches(feats, batch_format="pyarrow")

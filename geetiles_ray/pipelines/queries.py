@@ -2223,6 +2223,61 @@ ORDER BY event_id
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition features (lines.
+    repetition_stats): duplicate 2-gram / 3-gram fractions per document —
+    purely map-side sliding-window hash folds, the standard quality
+    filter for machine-generated pages."""
+    from . import lines as linesmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = linesmod.repetition_stats(docs, ns=(2, 3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "ng2_total", "ng2_dup_frac",
+                "ng3_total", "ng3_dup_frac"]] \
+        .astype({"ng2_total": "int64", "ng3_total": "int64"})
+
+
+def _sql_repetition_stats() -> str:
+    def level(n):
+        return f"""
+g{n} AS (
+  SELECT doc_id, i, nw,
+         string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS ng
+  FROM expl
+), s{n} AS (
+  SELECT doc_id, COUNT(*) AS t{n}, COUNT(DISTINCT ng) AS d{n}
+  FROM g{n} WHERE i <= nw - {n} GROUP BY doc_id
+)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), expl AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS i,
+         len(w) AS nw
+  FROM toks
+),{level(2)},{level(3)}
+SELECT d.doc_id,
+       COALESCE(t2, 0) AS ng2_total,
+       CASE WHEN COALESCE(t2, 0) > 0
+            THEN ROUND(1 - d2 / CAST(t2 AS DOUBLE), 6) ELSE 0.0 END
+         AS ng2_dup_frac,
+       COALESCE(t3, 0) AS ng3_total,
+       CASE WHEN COALESCE(t3, 0) > 0
+            THEN ROUND(1 - d3 / CAST(t3 AS DOUBLE), 6) ELSE 0.0 END
+         AS ng3_dup_frac
+FROM documents d
+LEFT JOIN s2 ON d.doc_id = s2.doc_id
+LEFT JOIN s3 ON d.doc_id = s3.doc_id
+ORDER BY d.doc_id
+"""
+
+
+SQL_REPETITION_STATS = _sql_repetition_stats()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2281,4 +2336,5 @@ REGISTRY = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
     "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
 }

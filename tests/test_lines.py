@@ -97,3 +97,38 @@ class TestSegmentDedup:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(got.n_removed) == [0, 0]
         assert list(got.text_clean) == list(df.text)
+
+
+class TestRepetitionStats:
+    def test_matches_brute(self):
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b a b a",           # heavy 2-gram repetition
+                     "x y z w",              # all distinct
+                     "q",                     # no full 2-gram window
+                     "r r r r r r"],          # maximal repetition
+        })
+        got = lines.repetition_stats(ray.data.from_pandas(df), ns=(2, 3)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        def brute(t, n):
+            w = t.split(" ")
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            if not grams:
+                return 0, 0.0
+            return len(grams), round(1 - len(set(grams)) / len(grams), 6)
+
+        for i, t in enumerate(df.text):
+            for n in (2, 3):
+                tot, frac = brute(t, n)
+                assert got[f"ng{n}_total"][i] == tot, (i, n)
+                assert abs(got[f"ng{n}_dup_frac"][i] - frac) < 1e-9, (i, n)
+
+    def test_cross_doc_windows_not_counted(self):
+        # two docs ending/starting with the same words must not leak
+        # windows across the boundary when batched together
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b a"]})
+        got = lines.repetition_stats(ray.data.from_pandas(df), ns=(2,)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.ng2_total) == [1, 1]
+        assert list(got.ng2_dup_frac) == [0.0, 0.0]
