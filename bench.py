@@ -41,7 +41,9 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "kmeans_clusters", "ann_lsh",
                  # round-3b operators
                  "segment_dedup", "domain_stats", "tile_pyramid",
-                 "sales_rollup", "running_totals", "token_postings"]
+                 "sales_rollup", "running_totals", "token_postings",
+                 "tfidf_terms", "lang_quantiles", "quality_filter",
+                 "orders_join_bloom", "events_zscore", "repetition_stats"]
 
 
 def host_probe() -> dict:

@@ -2278,6 +2278,49 @@ ORDER BY d.doc_id
 SQL_REPETITION_STATS = _sql_repetition_stats()
 
 
+def q_host_cap(sf_dir: str):
+    """Per-domain page cap (crawl politeness / anti-domination sampling):
+    keep at most 20 pages per registrable domain, chosen deterministically
+    by splitmix hash of doc_id (not arrival order — resumable). Reuses
+    grouped_topn: map-side per-key prune combiner, then the key-hash
+    exchange ranks only survivors."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        dom = [f"site{int(i) % 19}.example" for i in d]
+        h = (d.astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "domain": pa.array(dom, type=pa.string()),
+                         "h": pa.array(h, type=pa.uint64())})
+
+    pages = docs.map_batches(synth, batch_format="pyarrow")
+    out = anmod.grouped_topn(pages, ["domain"], "h", n=20, ascending=True,
+                             tiebreak="doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "domain"]]
+
+
+SQL_HOST_CAP = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 19 AS VARCHAR) || '.example' AS domain,
+         ((doc_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT)
+           & {(1 << 64) - 1}::HUGEINT AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY h, doc_id) AS r
+  FROM pages
+)
+SELECT doc_id, domain FROM ranked WHERE r <= 20 ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2337,4 +2380,5 @@ REGISTRY = {
     "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
     "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
 }
