@@ -2321,6 +2321,66 @@ SELECT doc_id, domain FROM ranked WHERE r <= 20 ORDER BY doc_id
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Audio multimodal plumbing, oracle-checked end to end (the audio
+    twin of image_features): document text bytes stand in for an audio
+    payload, the deterministic PCM stub decodes 1024 int16 samples
+    (bits 48..63 of sha256-seed·i — HUGEINT-SQL-expressible), features
+    are exact integer moments + zero crossings."""
+    from ..stages import multimodal as mmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([t.encode("utf-8")
+                                 for t in batch["text"].to_pylist()],
+                                type=pa.binary()),
+        })
+
+    blobs = docs.map_batches(to_blob, batch_format="pyarrow")
+    feats = mmod.audio_features(mmod.decode_audio(blobs)).to_pandas()
+    out = feats[["doc_id", "amp_sum", "amp_sumsq", "zero_crossings"]] \
+        .copy()
+    # dyadic-exact mean (division by 2^10) — bit-identical both sides
+    out["mean_amp"] = out["amp_sum"] / 1024.0
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"amp_sum": "int64", "amp_sumsq": "int64",
+                 "zero_crossings": "int64"})
+
+
+SQL_AUDIO_FEATURES = """
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS seed
+  FROM documents
+), base AS (
+  SELECT doc_id, unnest(range(1024)) AS i, seed FROM seeds
+), signed AS (
+  SELECT doc_id, i,
+         CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS v,
+         -- the PREVIOUS sample recomputed closed-form in the same row
+         -- (i=0's vp is garbage but masked by the i>0 guard below)
+         CASE WHEN u16p >= 32768 THEN u16p - 65536 ELSE u16p END AS vp
+  FROM (
+    SELECT doc_id, i,
+           CAST((seed::HUGEINT * (i + 1)) % 18446744073709551616::HUGEINT
+                // 281474976710656::HUGEINT AS BIGINT) AS u16,
+           CAST((seed::HUGEINT * i) % 18446744073709551616::HUGEINT
+                // 281474976710656::HUGEINT AS BIGINT) AS u16p
+    FROM base)
+)
+SELECT doc_id,
+       SUM(v)::BIGINT AS amp_sum,
+       SUM(v * v)::BIGINT AS amp_sumsq,
+       SUM(CASE WHEN i > 0 AND ((vp < 0) <> (v < 0)) THEN 1 ELSE 0 END)
+         ::BIGINT AS zero_crossings,
+       SUM(v)::BIGINT / 1024.0 AS mean_amp
+FROM signed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2381,4 +2441,5 @@ REGISTRY = {
     "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
 }

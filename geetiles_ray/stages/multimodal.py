@@ -159,3 +159,102 @@ def frame_sample(ds: ray.data.Dataset, blob_col: str = "payload",
                                                      every_n=every_n),
                           batch_format="pyarrow", batch_size=64,
                           concurrency=concurrency)
+
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+    _HAVE_SF = True
+except ImportError:
+    _HAVE_SF = False
+
+
+def _decode_audio_real(blob: bytes, n_samples: int = 1024) -> np.ndarray:
+    """soundfile decode → mono int16 PCM, truncated/padded to n_samples.
+    Only reachable when soundfile imports (``_HAVE_SF``)."""
+    import io
+
+    import soundfile as sf
+    data, _sr = sf.read(io.BytesIO(blob), dtype="int16")
+    if data.ndim > 1:
+        data = data[:, 0]
+    out = np.zeros(n_samples, dtype=np.int16)
+    out[:min(len(data), n_samples)] = data[:n_samples]
+    return out
+
+
+def _decode_audio_fake(blob: bytes, n_samples: int = 1024) -> np.ndarray:
+    """Deterministic PCM stand-in: sample i is bits 48..63 of
+    seed·(i+1) mod 2⁶⁴ reinterpreted as signed int16 (seed = first 8
+    bytes of the blob's sha256) — same HUGEINT-SQL-expressible design as
+    _decode_image_fake, so the audio path carries a value-hash oracle."""
+    seed = np.uint64(int.from_bytes(hashlib.sha256(blob).digest()[:8], "big"))
+    i = np.arange(1, n_samples + 1, dtype=np.uint64)
+    u16 = ((seed * i) >> np.uint64(48)).astype(np.uint16)
+    return u16.view(np.int16).copy()
+
+
+class DecodeAudio:
+    """binary column → fixed-length int16 PCM column + sample-count
+    metadata (the audio twin of DecodeImages; same real/fake dispatch and
+    64-row binary batch discipline)."""
+
+    def __init__(self, blob_col: str = "payload", out_col: str = "pcm",
+                 n_samples: int = 1024, require_real: bool = False):
+        if require_real and not _HAVE_SF:
+            raise NotImplementedError(
+                "real audio decode needs soundfile, which is not installed; "
+                "run with require_real=False for the deterministic stub")
+        self.blob_col, self.out_col = blob_col, out_col
+        self.n_samples = n_samples
+        self.real = _HAVE_SF and require_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.blob_col].to_pylist()
+        decode = _decode_audio_real if self.real else _decode_audio_fake
+        arrs = [decode(b, self.n_samples) for b in blobs]
+        cols = {name: batch[name] for name in batch.column_names}
+        cols[self.out_col] = pa.array([a.tobytes() for a in arrs],
+                                      type=pa.binary())
+        cols["n_samples"] = pa.array([self.n_samples] * len(blobs),
+                                     type=pa.int32())
+        cols["decoder"] = pa.array(
+            ["real" if self.real else "fake"] * len(blobs))
+        return pa.table(cols)
+
+
+class AudioFeatures:
+    """PCM column → exact integer signal features: amplitude sum /
+    sum-of-squares (→ dyadic-exact mean / power) and zero-crossing count.
+    Integer moments → order-independent, hashable against SQL."""
+
+    def __init__(self, pcm_col: str = "pcm"):
+        self.pcm_col = pcm_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sums, sumsqs, zcs = [], [], []
+        for blob in batch[self.pcm_col].to_pylist():
+            a = np.frombuffer(blob, dtype=np.int16).astype(np.int64)
+            sums.append(int(a.sum()))
+            sumsqs.append(int((a * a).sum()))
+            zcs.append(int(((a[:-1] < 0) != (a[1:] < 0)).sum()))
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["amp_sum"] = pa.array(sums, type=pa.int64())
+        cols["amp_sumsq"] = pa.array(sumsqs, type=pa.int64())
+        cols["zero_crossings"] = pa.array(zcs, type=pa.int64())
+        return pa.table(cols)
+
+
+def decode_audio(ds: ray.data.Dataset, blob_col: str = "payload",
+                 n_samples: int = 1024, concurrency: int | tuple = 2,
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(DecodeAudio,
+                          fn_constructor_kwargs=dict(blob_col=blob_col,
+                                                     n_samples=n_samples),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def audio_features(ds: ray.data.Dataset, concurrency: int | tuple = 2,
+                   batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

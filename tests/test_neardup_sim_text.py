@@ -348,3 +348,46 @@ class TestMultimodal:
         assert out["decoder"].to_pylist() == ["fake"]
         want = multimodal._decode_image_fake(b"xx", (4, 4)).tobytes()
         assert out["pixels"][0].as_py() == want
+
+
+class TestAudio:
+    def test_fake_decode_deterministic_and_signed(self):
+        a = multimodal._decode_audio_fake(b"hello", 256)
+        b = multimodal._decode_audio_fake(b"hello", 256)
+        np.testing.assert_array_equal(a, b)
+        assert a.dtype == np.int16
+        assert (a < 0).any() and (a > 0).any()  # signed range exercised
+        c = multimodal._decode_audio_fake(b"other", 256)
+        assert not np.array_equal(a, c)
+
+    def test_features_match_brute(self):
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "payload": [b"alpha", b"beta"]})
+        ds = ray.data.from_pandas(df)
+        got = multimodal.audio_features(multimodal.decode_audio(ds)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for i, blob in enumerate(df.payload):
+            a = multimodal._decode_audio_fake(blob).astype(np.int64)
+            assert got.amp_sum[i] == a.sum()
+            assert got.amp_sumsq[i] == (a * a).sum()
+            assert got.zero_crossings[i] == ((a[:-1] < 0) != (a[1:] < 0)).sum()
+
+    def test_require_real_raises_without_codec(self):
+        if multimodal._HAVE_SF:
+            pytest.skip("soundfile present")
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeAudio(require_real=True)
+
+    def test_real_dispatch_with_monkeypatched_codec(self, monkeypatch):
+        # fake a codec being present and verify the dispatch flips
+        monkeypatch.setattr(multimodal, "_HAVE_SF", True)
+        calls = {}
+
+        def fake_real(blob, n_samples=1024):
+            calls["hit"] = True
+            return np.zeros(n_samples, dtype=np.int16)
+
+        monkeypatch.setattr(multimodal, "_decode_audio_real", fake_real)
+        dec = multimodal.DecodeAudio(require_real=True)
+        t = dec(pa.table({"payload": pa.array([b"x"], type=pa.binary())}))
+        assert calls.get("hit") and t["decoder"][0].as_py() == "real"
