@@ -349,7 +349,8 @@ def running_total(ds: ray.data.Dataset, key: str, order_cols: list[str],
 # ------------------------------------------------------- inverted index
 
 def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
-                   text_col: str = "text") -> ray.data.Dataset:
+                   text_col: str = "text",
+                   reduce: str = "driver") -> ray.data.Dataset:
     """Inverted-index statistics: per token → document frequency (distinct
     docs), term frequency (total occurrences) and the posting head (min
     doc id). Tokens are the LangId/top_tokens tokenizer (lowercase,
@@ -384,10 +385,24 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     partial = ds.select_columns([id_col, text_col]) \
         .map_batches(local, batch_format="pandas")
-    agg = partial.groupby("token").aggregate(
-        Sum("__df", alias_name="df"), Sum("__tf", alias_name="tf"),
-        Min("__min", alias_name="first_doc"))
-    return agg
+    if reduce == "shuffle":
+        return partial.groupby("token").aggregate(
+            Sum("__df", alias_name="df"), Sum("__tf", alias_name="tf"),
+            Min("__min", alias_name="first_doc"))
+    # driver fold: the data moved is |block vocab| rows per block (Zipf-
+    # compressed), and it skips the aggregator-actor startup tax — same
+    # regime call as _finalize_partials (dedup.py:474)
+    frames = [b for b in partial.iter_batches(batch_size=1 << 20,
+                                              batch_format="pandas")]
+    if not frames:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"token": [], "df": [], "tf": [], "first_doc": []}))
+    allp = pd.concat(frames, ignore_index=True)
+    agg = allp.groupby("token", sort=False).agg(
+        df=("__df", "sum"), tf=("__tf", "sum"),
+        first_doc=("__min", "min")).reset_index()
+    return ray.data.from_pandas(agg.astype(
+        {"df": "int64", "tf": "int64", "first_doc": "int64"}))
 
 
 # ------------------------------------------------------------------ TF-IDF

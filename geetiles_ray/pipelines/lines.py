@@ -122,11 +122,21 @@ def _member128(h1d: np.ndarray, h2d: np.ndarray,
 
 def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
                     mode: str = "words", width: int = 3, min_docs: int = 2,
-                    fold: str = "driver"):
+                    fold: str = "range"):
     """Pass 1: ray.put ref of the (h1,h2)-lexsorted banned-segment hash
     arrays. Narrow scan — only ``text_col`` leaves storage; per-batch
     partials carry one row per distinct segment (within-doc repeats
-    deduped BEFORE counting, so ndocs counts documents, not occurrences)."""
+    deduped BEFORE counting, so ndocs counts documents, not occurrences).
+
+    fold="range" (default): the dup_key_set two-stage task fold
+    (dedup.py:134) — partials are emitted (h1,h2)-sorted, a split wave
+    pre-buckets each by h1 range (`num_returns` per-range objects), one
+    fold task per range sums and filters independently; the driver only
+    concatenates the per-range BANNED lists. The serial driver fold was
+    measured 13× slower than the map passes on a duplicate-heavy 1M-doc
+    probe (13M partial rows single-threaded). fold="driver": that serial
+    fold (fine for small partials). fold="groupby": hash aggregation,
+    for when even one range's fold wouldn't fit a worker."""
     import ray
 
     def local(batch: pa.Table) -> pa.Table:
@@ -155,6 +165,55 @@ def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
     partial = ds.select_columns([text_col]) \
         .map_batches(local, batch_format="pyarrow")
 
+    if fold == "range":
+        refs = partial.materialize().get_internal_block_refs()
+        e = np.empty(0, dtype=np.uint64)
+        if not refs:
+            return ray.put((e, e))
+        ncores = int(ray.cluster_resources().get("CPU", 8))
+        nranges = max(4, min(64, ncores))
+        step = (1 << 64) // nranges
+        cuts = np.array([(i + 1) * step for i in range(nranges - 1)],
+                        dtype=np.uint64)
+
+        @ray.remote(num_cpus=0.5)
+        def split_partial(t):
+            h1 = t["__h1"].to_numpy()
+            h2 = t["__h2"].to_numpy()
+            c = t["__n"].to_numpy()
+            idx = np.searchsorted(h1, cuts)  # rows are h1-primary sorted
+            return tuple(
+                (a.copy(), b.copy(), d.copy())
+                for a, b, d in zip(np.split(h1, idx), np.split(h2, idx),
+                                   np.split(c, idx)))
+
+        srefs = [split_partial.options(num_returns=nranges).remote(r)
+                 for r in refs]
+
+        @ray.remote(num_cpus=1)
+        def fold_range(*slices):
+            h1 = np.concatenate([s[0] for s in slices])
+            if not len(h1):
+                return np.empty(0, np.uint64), np.empty(0, np.uint64)
+            h2 = np.concatenate([s[1] for s in slices])
+            c = np.concatenate([s[2] for s in slices])
+            order = np.lexsort((h2, h1))
+            h1, h2, c = h1[order], h2[order], c[order]
+            new = np.empty(len(h1), dtype=bool)
+            new[0] = True
+            new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            starts = np.nonzero(new)[0]
+            tot = np.add.reduceat(c, starts)
+            keep = tot >= min_docs
+            return h1[starts][keep], h2[starts][keep]
+
+        outs = ray.get([
+            fold_range.remote(*[srefs[b][r] for b in range(len(refs))])
+            for r in range(nranges)])
+        h1 = np.concatenate([o[0] for o in outs])
+        h2 = np.concatenate([o[1] for o in outs])
+        # ranges are h1-disjoint and internally sorted → already lexsorted
+        return ray.put((h1, h2))
     if fold == "groupby":
         # corpus-scale fold: hash aggregation over the partials; only the
         # post-filter banned rows (ndocs ≥ min_docs) reach the driver

@@ -86,8 +86,12 @@ class TestSegmentDedup:
                                            fold="driver"))
         r2 = ray.get(lines.banned_segments(ds, "text", mode="lines",
                                            fold="groupby"))
+        r3 = ray.get(lines.banned_segments(ds, "text", mode="lines",
+                                           fold="range"))
         np.testing.assert_array_equal(r1[0], r2[0])
         np.testing.assert_array_equal(r1[1], r2[1])
+        np.testing.assert_array_equal(r1[0], r3[0])
+        np.testing.assert_array_equal(r1[1], r3[1])
 
     def test_no_duplicates_is_identity(self):
         df = pd.DataFrame({"doc_id": [0, 1],

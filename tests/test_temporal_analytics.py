@@ -429,3 +429,20 @@ class TestGroupedQuantiles:
         df = pd.DataFrame({"k": ["a", "b"], "v": [5, 7]})
         got = an.grouped_quantiles(_ds(df, 1), "k", "v", [0.5])
         assert list(got.value) == [5, 7]
+
+
+class TestTokenPostingsReduce:
+    def test_driver_shuffle_parity(self):
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype="int64"),
+                           "text": [f"tok{i % 7} tok{i % 3} common"
+                                    for i in range(50)]})
+        ds = _ds(df)
+        a = an.token_postings(ds, reduce="driver").to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        b = an.token_postings(ds, reduce="shuffle").to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["token", "df", "tf", "first_doc"]].astype(
+                {"df": "int64", "tf": "int64", "first_doc": "int64"}),
+            b[["token", "df", "tf", "first_doc"]].astype(
+                {"df": "int64", "tf": "int64", "first_doc": "int64"}))
