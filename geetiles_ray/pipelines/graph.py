@@ -1,0 +1,108 @@
+"""Distributed graph algorithms over edge tables.
+
+``connected_components_minlabel`` (pipelines/neardup.py) covers the
+clustering side; this module adds iterative rank propagation — PageRank —
+in EXACT integer arithmetic so the whole iteration is order-independent
+and replayable in SQL (the kmeans_quantized trick, cluster.py:61, applied
+to graphs):
+
+    rank is a scaled integer (default 10¹² units of total mass 1):
+        r⁰(v)   = S // N
+        base    = (15 · (S // N)) // 100                  (the (1−d)/N term)
+        contrib = r(u) // outdeg(u)    per edge u→v       (integer div)
+        rᵏ⁺¹(v) = base + (85 · Σ contrib) // 100          (d = 0.85)
+
+    Integer sums commute ⇒ any partitioning/ordering gives identical
+    ranks; the floor divisions are part of the algorithm's definition on
+    both engines. Dangling-node mass (outdeg 0) simply evaporates — the
+    same rule on both sides.
+
+Physical plan per iteration: ranks ⋈ edges on src (the bucketed hash
+join — at cluster scale pre-partition edges by src once and reuse), a
+map emits (dst, contrib), one hash aggregation sums per dst, and a
+broadcast-free finalize adds the base term. Nodes with no in-edges are
+kept alive by unioning a zero-contribution row per node (no driver-side
+node list, no second join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+SCALE = 10 ** 12
+
+
+def pagerank(edges: ray.data.Dataset, n_nodes: int, iters: int = 3,
+             src: str = "src", dst: str = "dst",
+             scale: int = SCALE, nbuckets: int = 32) -> ray.data.Dataset:
+    """Integer PageRank over a dense node-id space 0..n_nodes−1.
+    Returns a Dataset (node:int64, r:int64). ``edges`` is scanned once to
+    attach out-degrees, then re-joined to the rank table each iteration.
+    """
+    from ..stages.joins import join_on_identifier
+
+    r_init = scale // n_nodes
+    base = (15 * r_init) // 100
+
+    deg = edges.groupby(src).count() \
+        .map_batches(lambda b: pa.table({src: b[src],
+                                         "__deg": b["count()"]}),
+                     batch_format="pyarrow")
+    edges_deg = join_on_identifier(edges, deg, key=src,
+                                   right_cols=["__deg"],
+                                   nbuckets=nbuckets).materialize()
+
+    # rank table over the DENSE id space (contract of the signature): all
+    # nodes present whether or not they appear in edges
+    ranks = ray.data.range(n_nodes).map_batches(
+        lambda b: pa.table({"node": b["id"],
+                            "r": pa.array(np.full(len(b), r_init,
+                                                  dtype=np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        withr = join_on_identifier(
+            edges_deg.map_batches(
+                lambda b: pa.table({"node": b[src], "dst": b[dst],
+                                    "__deg": b["__deg"]}),
+                batch_format="pyarrow"),
+            ranks, key="node", right_cols=["r"], nbuckets=nbuckets)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = b["__deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": b["dst"],
+                             "__c": pa.array(r // np.maximum(d, 1))})
+
+        contribs = withr.map_batches(contrib, batch_format="pyarrow")
+        keepalive = ranks.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "__c": pa.array(np.zeros(len(b),
+                                                         dtype=np.int64))}),
+            batch_format="pyarrow")
+        summed = contribs.union(keepalive).groupby("node").sum("__c")
+        ranks = summed.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "r": pa.array(base + (85 * b["sum(__c)"].to_numpy()
+                                      .astype(np.int64)) // 100)}),
+            batch_format="pyarrow").materialize()
+    return ranks
+
+
+def pagerank_reference(edges_df: pd.DataFrame, n_nodes: int, iters: int = 3,
+                       scale: int = SCALE) -> np.ndarray:
+    """Single-process oracle with the identical integer arithmetic."""
+    r_init = scale // n_nodes
+    base = (15 * r_init) // 100
+    r = np.full(n_nodes, r_init, dtype=np.int64)
+    deg = np.bincount(edges_df["src"].to_numpy(), minlength=n_nodes)
+    for _ in range(iters):
+        c = r[edges_df["src"]] // np.maximum(deg[edges_df["src"]], 1)
+        s = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(s, edges_df["dst"].to_numpy(), c)
+        r = base + (85 * s.astype(np.int64)) // 100
+    return r

@@ -2381,6 +2381,65 @@ FROM signed GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pagerank_docs(sf_dir: str):
+    """Distributed integer PageRank (pipelines/graph.py) over a synthetic
+    2-out-regular link graph on the documents (dst = (id·7+1) mod N and
+    (id·13+5) mod N): 3 iterations of join → contribution map → hash
+    aggregation, every step exact int64 — the iterative-graph-algorithm
+    twin of the kmeans chained-CTE replay."""
+    from . import graph as graphmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([d, d])),
+            "dst": pa.array(np.concatenate([(d * 7 + 1) % n,
+                                            (d * 13 + 5) % n])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    out = graphmod.pagerank(edges, n, iters=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    return out.astype({"node": "int64", "r": "int64"})
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    s = 10 ** 12
+    rinit = f"({s} // (SELECT n FROM nn))"
+    base = f"(15 * {rinit}) // 100"
+    cte = f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, {rinit} AS r FROM nodes)"""
+    for k in range(1, iters + 1):
+        cte += f""",
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.r // deg.d) AS s
+  FROM edges e JOIN r{k - 1} r ON e.src = r.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node, {base} + (85 * COALESCE(c{k}.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN c{k} USING (node)
+)"""
+    return cte + f"\nSELECT node, r FROM r{iters} ORDER BY node"
+
+
+SQL_PAGERANK_DOCS = _sql_pagerank()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2442,4 +2501,5 @@ REGISTRY = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
 }
