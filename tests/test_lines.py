@@ -136,3 +136,21 @@ class TestRepetitionStats:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(got.ng2_total) == [1, 1]
         assert list(got.ng2_dup_frac) == [0.0, 0.0]
+
+
+class TestEdgeCases:
+    def test_segment_dedup_empty_and_single(self):
+        df = pd.DataFrame({"doc_id": [0], "text": [""]})
+        got = lines.segment_dedup(ray.data.from_pandas(df), "text",
+                                  mode="words", width=3) \
+            .to_pandas()
+        # "".split(" ") == [""] → one empty-word segment, kept (one doc)
+        assert got.n_segments[0] == 1 and got.n_removed[0] == 0
+        assert got.text_clean[0] == ""
+
+    def test_repetition_stats_empty_text(self):
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["", "a"]})
+        got = lines.repetition_stats(ray.data.from_pandas(df), ns=(2,)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.ng2_total) == [0, 0]
+        assert list(got.ng2_dup_frac) == [0.0, 0.0]
