@@ -494,3 +494,53 @@ def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
 
     out = grouped_apply(tagged, kernel, nbuckets).to_pandas()
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- HyperLogLog sketch
+
+def hll_registers(ds: ray.data.Dataset, key_col: str, p: int = 10):
+    """HyperLogLog register table for approximate COUNT(DISTINCT key):
+    h = splitmix(key), bucket = top ``p`` bits, rho = 1 + leading zeros of
+    the remaining ``64−p`` bits. Registers merge by MAX — commutative and
+    idempotent, so any partitioning, ordering or RETRY gives identical
+    registers (the property that makes sketches the right distinct-count
+    at 10¹² rows: each block ships one 2^p-byte array, never keys).
+
+    Everything is integer (bit lengths via exact power-of-two
+    comparisons, not float log2), so the register table is bit-for-bit
+    replayable in SQL with bin()/length() — see SQL_HLL_USERS. Returns
+    (registers DataFrame (bucket, rho) for rho>0, estimate float) — the
+    estimate uses the standard α_m m²/Σ2^{−reg} with the small-range
+    linear-counting correction."""
+    m = 1 << p
+    w = 64 - p
+    powers = (np.uint64(1) << np.arange(w + 1, dtype=np.uint64))
+
+    def local(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.uint64)
+        h = (k + np.uint64(1)) * np.uint64(_MIX)
+        bucket = (h >> np.uint64(w)).astype(np.int64)
+        rem = h & np.uint64((1 << w) - 1)
+        bitlen = np.searchsorted(powers, rem, side="right")
+        rho = (w - bitlen + 1).astype(np.uint8)  # rem=0 → bitlen 0 → w+1
+        reg = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(reg, bucket, rho)
+        return pa.table({"__reg": pa.array([reg.tobytes()],
+                                           type=pa.binary())})
+
+    acc = np.zeros(m, dtype=np.uint8)
+    for b in ds.select_columns([key_col]).map_batches(
+            local, batch_format="pyarrow").iter_batches(
+            batch_size=64, batch_format="pyarrow"):
+        for blob in b["__reg"].to_pylist():
+            np.maximum(acc, np.frombuffer(blob, dtype=np.uint8), out=acc)
+
+    nz = np.nonzero(acc)[0]
+    regs = pd.DataFrame({"bucket": nz.astype("int64"),
+                         "rho": acc[nz].astype("int64")})
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -acc.astype(np.float64)))
+    zeros = m - len(nz)
+    if est <= 2.5 * m and zeros:  # linear-counting small-range correction
+        est = m * np.log(m / zeros)
+    return regs, float(est)

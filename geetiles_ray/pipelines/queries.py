@@ -2440,6 +2440,40 @@ r{k} AS (
 SQL_PAGERANK_DOCS = _sql_pagerank()
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog sketch registers for distinct users (analytics.
+    hll_registers, p=10): per-block 1 KiB register partials merged by MAX
+    — the order/partitioning/retry-independent distinct-count for 10¹²
+    rows. The oracle replays bucket/rho extraction integer-exactly
+    (bit lengths via bin()), so the sketch itself — not just a final
+    estimate — is value-checked."""
+    from . import analytics as anmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    regs, _est = anmod.hll_registers(ev, "user_id", p=10)
+    return regs
+
+
+SQL_HLL_USERS = f"""
+WITH h AS (
+  SELECT ((user_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT)
+         & {(1 << 64) - 1}::HUGEINT AS hh
+  FROM events
+), parts AS (
+  SELECT CAST(hh // {1 << 54}::HUGEINT AS BIGINT) AS bucket,
+         CAST(hh % {1 << 54}::HUGEINT AS BIGINT) AS rem
+  FROM h
+), rhos AS (
+  SELECT bucket,
+         CASE WHEN rem = 0 THEN 55
+              ELSE 54 - length(bin(rem::UBIGINT)) + 1 END AS rho
+  FROM parts
+)
+SELECT bucket, MAX(rho) AS rho FROM rhos GROUP BY bucket ORDER BY bucket
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2502,4 +2536,5 @@ REGISTRY = {
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
+    "hll_users": (q_hll_users, SQL_HLL_USERS),
 }

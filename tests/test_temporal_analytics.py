@@ -446,3 +446,23 @@ class TestTokenPostingsReduce:
                 {"df": "int64", "tf": "int64", "first_doc": "int64"}),
             b[["token", "df", "tf", "first_doc"]].astype(
                 {"df": "int64", "tf": "int64", "first_doc": "int64"}))
+
+
+class TestHLL:
+    def test_estimate_accuracy_and_merge_invariance(self):
+        rng = np.random.default_rng(6)
+        true_n = 5000
+        keys = np.unique(rng.integers(0, 10**12, 2 * true_n))[:true_n]
+        # each key appears 1-4 times
+        dup = np.repeat(keys, rng.integers(1, 5, true_n))
+        df = pd.DataFrame({"k": rng.permutation(dup)})
+        regs1, est1 = an.hll_registers(_ds(df, nblocks=1), "k", p=10)
+        regs8, est8 = an.hll_registers(_ds(df, nblocks=8), "k", p=10)
+        pd.testing.assert_frame_equal(regs1, regs8)  # partition-invariant
+        assert est1 == est8
+        assert abs(est1 - true_n) / true_n < 0.12  # ~3.2% stderr at p=10
+
+    def test_small_range_linear_counting(self):
+        df = pd.DataFrame({"k": np.arange(30, dtype="int64")})
+        _regs, est = an.hll_registers(_ds(df, 2), "k", p=10)
+        assert abs(est - 30) < 3
