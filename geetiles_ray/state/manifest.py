@@ -26,6 +26,7 @@ import os
 import time
 import warnings
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -84,6 +85,7 @@ def checkpointed_write(
     n_partitions: int | None = None,
     transform=None,
     target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    pid_of=None,
 ) -> dict:
     """Write ``ds`` (optionally through ``transform(ds_partition_batch)``)
     as ``{out_dir}/part={pid}/data.parquet`` with per-partition manifests,
@@ -116,8 +118,11 @@ def checkpointed_write(
                                            min_parts=ncpu)
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        pid = partition_of_key(batch[key_col].to_pylist(), n_partitions)
-        return batch.append_column("__pid", pa.array(pid, type=pa.int64()))
+        if pid_of is not None:
+            pid = pid_of(batch[key_col])
+        else:
+            pid = partition_of_key(batch[key_col].to_pylist(), n_partitions)
+        return batch.append_column("__pid", pa.array(np.asarray(pid, dtype=np.int64)))
 
     def write_partition(group) -> pa.Table:
         table = pa.Table.from_pandas(group, preserve_index=False) \
@@ -203,3 +208,39 @@ def prune_work_list(work: ray.data.Dataset, out_dir: str, key_col: str,
         return batch.filter(pa.array(mask))
 
     return work.map_batches(keep, batch_format="pyarrow")
+
+
+def range_partitioned_write(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_col: str,
+    n_ranges: int = 16,
+) -> dict:
+    """Globally SORTED resumable output: partition ``pid`` holds keys in
+    [cut_{pid-1}, cut_pid) and is sorted internally, so the part files
+    concatenate into a total order — the write-side layout for postings
+    lists, time-ordered logs, and any downstream merge-join consumer.
+
+    Range cuts come from the exact distributed quantile operator
+    (analytics.quantiles_exact — histogram passes, no global sort), so
+    partitions are count-balanced even under key skew; the write itself
+    reuses the per-partition manifest/resume machinery (same
+    kill-and-resume contract as checkpointed_write). Requires a numeric
+    key. Deterministic: same input → same cuts → same partitions →
+    resume skips everything."""
+    from ..pipelines.analytics import quantiles_exact
+
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    cuts = quantiles_exact(ds, key_col, qs).value.to_numpy() if qs \
+        else np.empty(0)
+
+    def pid_of(col: pa.ChunkedArray):
+        v = col.to_numpy(zero_copy_only=False)
+        return np.searchsorted(cuts, v, side="right")
+
+    def sort_partition(table: pa.Table) -> pa.Table:
+        return table.sort_by([(key_col, "ascending")])
+
+    return checkpointed_write(ds, out_dir, key_col,
+                              n_partitions=n_ranges,
+                              transform=sort_partition, pid_of=pid_of)

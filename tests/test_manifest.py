@@ -185,3 +185,39 @@ class TestMetrics:
             time.sleep(0.1)
         assert snap["render.worldcoverlike.rows"] == n
         assert snap.get("render.worldcoverlike.nodata", 0) == 0
+
+
+class TestRangePartitionedWrite:
+    def test_sorted_layout_and_resume(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from geetiles_ray.state.manifest import range_partitioned_write
+
+        import numpy as np
+        rng = np.random.default_rng(17)
+        import pandas as pd
+        df = pd.DataFrame({"k": rng.permutation(np.arange(5000))
+                           .astype("int64"),
+                           "v": np.arange(5000, dtype="int64")})
+        ds = ray.data.from_pandas([d for d in np.array_split(df, 6)])
+        out = str(tmp_path / "ranges")
+        res = range_partitioned_write(ds, out, "k", n_ranges=8)
+        assert len(res["written"]) == 8 and not res["skipped"]
+        # global total order: concatenated parts (in pid order) are sorted
+        allk = []
+        for p in sorted(glob.glob(f"{out}/part=*/data.parquet")):
+            t = pq.read_table(p)
+            k = t["k"].to_numpy()
+            assert (np.diff(k) >= 0).all()  # sorted within partition
+            allk.append(k)
+        cat = np.concatenate(allk)
+        assert (np.diff(cat) >= 0).all()    # sorted ACROSS partitions
+        assert len(cat) == 5000
+        # count balance from exact quantile cuts (uniform keys → ~equal)
+        sizes = [len(a) for a in allk]
+        assert max(sizes) <= 2 * min(sizes), sizes
+        # resume: second run skips every partition
+        res2 = range_partitioned_write(ds, out, "k", n_ranges=8)
+        assert len(res2["skipped"]) == 8 and not res2["written"]
