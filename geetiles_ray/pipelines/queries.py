@@ -2474,6 +2474,76 @@ SELECT bucket, MAX(rho) AS rho FROM rhos GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_events_outliers(sf_dir: str):
+    """Robust outlier flags (median/MAD composition): per event type,
+    median cents and the median absolute deviation come from TWO
+    grouped-quantile passes (analytics.grouped_quantiles — exact, no
+    sort); the flag itself is a broadcast map (|x − med| > 3·MAD).
+    Everything integer until the final comparison, so the oracle
+    hash-matches bit-for-bit."""
+    from . import analytics as anmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "cents": pa.array(c)})
+
+    evc = ev.map_batches(cents, batch_format="pyarrow")
+    med = anmod.grouped_quantiles(evc, "event_type", "cents", [0.5])
+    med_of = dict(zip(med.event_type, med.value.astype("int64")))
+    import ray as _ray
+    med_ref = _ray.put(med_of)
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(med_ref)
+        df["absdev"] = (df["cents"]
+                        - df["event_type"].map(m)).abs().astype("int64")
+        return df
+
+    devs = evc.map_batches(absdev, batch_format="pandas")
+    mad = anmod.grouped_quantiles(devs, "event_type", "absdev", [0.5])
+    mad_of = dict(zip(mad.event_type, mad.value.astype("int64")))
+    mad_ref = _ray.put(mad_of)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(med_ref)
+        s = _ray.get(mad_ref)
+        med_v = df["event_type"].map(m).astype("int64")
+        mad_v = df["event_type"].map(s).astype("int64")
+        df["is_outlier"] = (df["cents"] - med_v).abs() > 3 * mad_v
+        return df[["event_id", "event_type", "cents", "is_outlier"]]
+
+    out = devs.map_batches(flag, batch_format="pandas").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    return out.astype({"cents": "int64"})
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS m FROM e
+  GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.cents, ABS(e.cents - med.m) AS ad
+  FROM e JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_disc(ad, 0.5) AS s FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.cents, d.ad > 3 * mad.s AS is_outlier
+FROM dev d JOIN mad USING (event_type)
+ORDER BY d.event_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2537,4 +2607,5 @@ REGISTRY = {
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
     "hll_users": (q_hll_users, SQL_HLL_USERS),
+    "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
 }
