@@ -544,3 +544,55 @@ def hll_registers(ds: ray.data.Dataset, key_col: str, p: int = 10):
     if est <= 2.5 * m and zeros:  # linear-counting small-range correction
         est = m * np.log(m / zeros)
     return regs, float(est)
+
+
+# ---------------------------------------------------- Count-Min sketch
+
+def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
+               width: int = 1 << 12,
+               query_keys: np.ndarray | None = None):
+    """Count-Min sketch for approximate per-key frequencies: ``depth``
+    rows of ``width`` counters; row d uses hash ((key+1)·MIX + d·MIX2)
+    (splitmix family), estimate(key) = min over rows. Counter matrices
+    ADD-merge — commutative — so each block ships one depth×width int64
+    partial (constant size) and any partitioning/retry gives identical
+    counters. Overestimates only (never under), by ≤ εN w.h.p. with
+    ε = e/width.
+
+    Returns (matrix, estimate_fn) — and, when ``query_keys`` is given, a
+    DataFrame (key, est) of point estimates (all integer arithmetic, so
+    the whole sketch replays in HUGEINT SQL — SQL_CMS_EVENTS)."""
+    mix2 = 0xC2B2AE3D27D4EB4F
+
+    def local(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.uint64)
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            h = (k + np.uint64(1)) * np.uint64(_MIX) \
+                + np.uint64(d) * np.uint64(mix2)
+            np.add.at(mat[d], (h % np.uint64(width)).astype(np.int64), 1)
+        return pa.table({"__m": pa.array([mat.tobytes()],
+                                         type=pa.binary())})
+
+    acc = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.select_columns([key_col]).map_batches(
+            local, batch_format="pyarrow").iter_batches(
+            batch_size=64, batch_format="pyarrow"):
+        for blob in b["__m"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64) \
+                .reshape(depth, width)
+
+    def estimate(keys: np.ndarray) -> np.ndarray:
+        k = np.asarray(keys).astype(np.uint64)
+        est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(depth):
+            h = (k + np.uint64(1)) * np.uint64(_MIX) \
+                + np.uint64(d) * np.uint64(mix2)
+            est = np.minimum(est, acc[d, (h % np.uint64(width))
+                                      .astype(np.int64)])
+        return est
+
+    if query_keys is not None:
+        return pd.DataFrame({"key": np.asarray(query_keys, dtype=np.int64),
+                             "est": estimate(query_keys)})
+    return acc, estimate

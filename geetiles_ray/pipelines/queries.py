@@ -2544,6 +2544,44 @@ ORDER BY d.event_id
 """
 
 
+def q_cms_events(sf_dir: str):
+    """Count-Min sketch point estimates (analytics.cms_counts): per-user
+    event frequencies from ADD-merged constant-size counter partials —
+    the frequency twin of the HLL distinct sketch. The oracle rebuilds
+    the identical counters in HUGEINT SQL and takes the same min-over-
+    rows, so the sketch (hash family, slots, merge) is value-checked."""
+    from . import analytics as anmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return anmod.cms_counts(ev, "user_id", depth=4, width=1 << 12,
+                            query_keys=np.arange(20)) \
+        .astype({"key": "int64", "est": "int64"})
+
+
+SQL_CMS_EVENTS = f"""
+WITH ds_ AS (SELECT unnest(range(4)) AS d),
+ctr AS (
+  SELECT d,
+         CAST((((user_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT
+                + d * {0xC2B2AE3D27D4EB4F}::HUGEINT)
+               & {(1 << 64) - 1}::HUGEINT) % 4096 AS BIGINT) AS slot,
+         COUNT(*) AS c
+  FROM events, ds_ GROUP BY 1, 2
+), q AS (SELECT unnest(range(20)) AS key),
+qs AS (
+  SELECT q.key, ds_.d,
+         CAST((((q.key::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT
+                + ds_.d * {0xC2B2AE3D27D4EB4F}::HUGEINT)
+               & {(1 << 64) - 1}::HUGEINT) % 4096 AS BIGINT) AS slot
+  FROM q, ds_
+)
+SELECT qs.key, MIN(COALESCE(ctr.c, 0))::BIGINT AS est
+FROM qs LEFT JOIN ctr ON qs.d = ctr.d AND qs.slot = ctr.slot
+GROUP BY qs.key ORDER BY qs.key
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2608,4 +2646,5 @@ REGISTRY = {
     "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
     "hll_users": (q_hll_users, SQL_HLL_USERS),
     "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
+    "cms_events": (q_cms_events, SQL_CMS_EVENTS),
 }

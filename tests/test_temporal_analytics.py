@@ -466,3 +466,25 @@ class TestHLL:
         df = pd.DataFrame({"k": np.arange(30, dtype="int64")})
         _regs, est = an.hll_registers(_ds(df, 2), "k", p=10)
         assert abs(est - 30) < 3
+
+
+class TestCMS:
+    def test_never_underestimates_and_close(self):
+        rng = np.random.default_rng(12)
+        keys = rng.integers(0, 500, 20000).astype("int64")
+        df = pd.DataFrame({"k": keys})
+        true = pd.Series(keys).value_counts()
+        qk = np.arange(500)
+        got = an.cms_counts(_ds(df, 8), "k", depth=4, width=1 << 12,
+                            query_keys=qk)
+        t = np.array([true.get(int(k), 0) for k in qk])
+        est = got.est.to_numpy()
+        assert (est >= t).all()                      # CMS never undershoots
+        assert (est - t).mean() < 20000 * np.e / (1 << 12) + 1
+
+    def test_partition_invariance(self):
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({"k": rng.integers(0, 50, 3000).astype("int64")})
+        a = an.cms_counts(_ds(df, 1), "k", query_keys=np.arange(50))
+        b = an.cms_counts(_ds(df, 9), "k", query_keys=np.arange(50))
+        pd.testing.assert_frame_equal(a, b)
