@@ -2582,6 +2582,52 @@ GROUP BY qs.key ORDER BY qs.key
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Unigram LM quality scoring (pipelines/text.py UnigramScore — the
+    CCNet perplexity-filter shape): corpus token counts broadcast once,
+    per-doc mean token log-probability map-side. Same tokenizer as
+    token_postings/top_tokens."""
+    from . import text as textmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = textmod.unigram_logprob(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "n_tokens", "mean_logprob"]] \
+        .astype({"n_tokens": "int64"})
+
+
+def _sql_unigram_logprob() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
+), tot AS (
+  SELECT COUNT(*) AS t FROM t2
+), scored AS (
+  SELECT t2.doc_id,
+         LN((tf.c + 1.0) / ((SELECT t FROM tot) + 1.0)) AS lp
+  FROM t2 JOIN tf USING (token)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS cnt, SUM(lp) AS s FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(cnt, 0) AS n_tokens,
+       COALESCE(ROUND(s / cnt, 6), 0.0) AS mean_logprob
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_UNIGRAM_LOGPROB = _sql_unigram_logprob()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2647,4 +2693,5 @@ REGISTRY = {
     "hll_users": (q_hll_users, SQL_HLL_USERS),
     "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
     "cms_events": (q_cms_events, SQL_CMS_EVENTS),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
 }

@@ -151,3 +151,56 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text",
         return batch.append_column(out_col, pa.array(fps, type=pa.uint64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+class UnigramScore:
+    """CCNet-style language-model quality scoring, unigram edition: a doc's
+    score is its mean token log-probability under the corpus unigram
+    distribution (perplexity filtering without a KenLM dependency — the
+    model IS the corpus token_postings table). Stateful stage: the
+    vocabulary probability table rides the object store once and loads per
+    actor in __init__; scoring is pure map work."""
+
+    def __init__(self, probs_ref, total_tokens: int,
+                 text_col: str = "text"):
+        import ray
+        self.text_col = text_col
+        self.probs = ray.get(probs_ref)  # dict token -> count
+        self.total = float(total_tokens)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[self.text_col].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        cnt = toks.map(self.probs).fillna(0).to_numpy(dtype=np.float64)
+        # add-one smoothing keeps unseen tokens finite; same formula in SQL
+        lp = np.log((cnt + 1.0) / (self.total + 1.0))
+        g = pd.Series(lp).groupby(toks.index.to_numpy())
+        sums = g.sum()
+        ns = g.size()
+        df["n_tokens"] = ns.reindex(df.index, fill_value=0).astype("int64")
+        mean_lp = (sums / ns.clip(lower=1)).reindex(df.index, fill_value=0.0)
+        df["mean_logprob"] = np.round(mean_lp.to_numpy(), 6)
+        return df
+
+
+def unigram_logprob(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """Two-phase: corpus unigram counts (token_postings' combiner path)
+    broadcast once, then one scoring map. Output adds n_tokens and
+    mean_logprob (round 6)."""
+    import ray
+
+    from .analytics import token_postings
+
+    post = token_postings(ds, id_col, text_col).to_pandas()
+    counts = dict(zip(post.token, post.tf.astype("int64")))
+    total = int(post.tf.sum())
+    ref = ray.put(counts)
+    return ds.map_batches(
+        UnigramScore,
+        fn_constructor_kwargs=dict(probs_ref=ref, total_tokens=total,
+                                   text_col=text_col),
+        batch_format="pandas", concurrency=concurrency)

@@ -391,3 +391,26 @@ class TestAudio:
         dec = multimodal.DecodeAudio(require_real=True)
         t = dec(pa.table({"payload": pa.array([b"x"], type=pa.binary())}))
         assert calls.get("hit") and t["decoder"][0].as_py() == "real"
+
+
+class TestUnigramScore:
+    def test_matches_brute(self):
+        import math
+        df = pd.DataFrame({"doc_id": [0, 1, 2],
+                           "text": ["cat cat dog", "dog bird", ""]})
+        got = textmod.unigram_logprob(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        counts = {"cat": 2, "dog": 2, "bird": 1}
+        total = 5
+
+        def lp(tok):
+            return math.log((counts.get(tok, 0) + 1) / (total + 1))
+
+        exp0 = round((lp("cat") * 2 + lp("dog")) / 3, 6)
+        exp1 = round((lp("dog") + lp("bird")) / 2, 6)
+        assert got.n_tokens.tolist() == [3, 2, 0]
+        assert abs(got.mean_logprob[0] - exp0) < 1e-9
+        assert abs(got.mean_logprob[1] - exp1) < 1e-9
+        assert got.mean_logprob[2] == 0.0
+        # rarer tokens score lower
+        assert got.mean_logprob[1] < got.mean_logprob[0]
