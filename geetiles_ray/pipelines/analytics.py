@@ -596,3 +596,62 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
         return pd.DataFrame({"key": np.asarray(query_keys, dtype=np.int64),
                              "est": estimate(query_keys)})
     return acc, estimate
+
+
+# ------------------------------------------------------- PMI collocations
+
+def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
+              text_col: str = "text", min_count: int = 5,
+              k: int = 50) -> pd.DataFrame:
+    """Adjacent-bigram collocations ranked by frequency, scored with PMI
+    ln(p(a,b) / (p(a)·p(b))) — the corpus-statistics operator behind
+    phrase mining and tokenizer-merge candidates. Tokens are the shared
+    LangId tokenizer; adjacency is computed AFTER dropping empty tokens
+    (both engines re-index identically).
+
+    Combiner shape: each block ships its (tok1, tok2) pair counts (vocab²
+    bounded, Zipf-compressed) and the unigram table comes from
+    token_postings — two narrow scans, driver-side fold of
+    dimension-sized partials, no row-level exchange."""
+    from .text import TOKEN_STRIP
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        rows = toks.index.to_numpy()
+        t = toks.to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"tok1": [], "tok2": [], "__n": []})
+        same = rows[1:] == rows[:-1]
+        p = pd.DataFrame({"tok1": t[:-1][same], "tok2": t[1:][same]})
+        g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
+        return g.reset_index().astype({"__n": "int64"})
+
+    frames = [b for b in ds.select_columns([id_col, text_col])
+              .map_batches(local, batch_format="pandas")
+              .iter_batches(batch_size=1 << 20, batch_format="pandas")]
+    if not frames:
+        return pd.DataFrame({"tok1": [], "tok2": [], "n_pair": [],
+                             "pmi": []})
+    pairs = pd.concat(frames, ignore_index=True) \
+        .groupby(["tok1", "tok2"], sort=False)["__n"].sum().reset_index() \
+        .rename(columns={"__n": "n_pair"})
+    n_bi = int(pairs.n_pair.sum())
+
+    uni = token_postings(ds, id_col, text_col).to_pandas()
+    c_of = dict(zip(uni.token, uni.tf.astype("int64")))
+    n_uni = int(uni.tf.sum())
+
+    pairs = pairs[pairs.n_pair >= min_count].copy()
+    ca = pairs.tok1.map(c_of).to_numpy(dtype=np.float64)
+    cb = pairs.tok2.map(c_of).to_numpy(dtype=np.float64)
+    num = pairs.n_pair.to_numpy(dtype=np.float64) * float(n_uni) \
+        * float(n_uni)
+    den = float(n_bi) * ca * cb
+    pairs["pmi"] = np.round(np.log(num / den), 6)
+    out = pairs.sort_values(["n_pair", "tok1", "tok2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k)
+    return out.reset_index(drop=True).astype({"n_pair": "int64"})

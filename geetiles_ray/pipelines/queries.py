@@ -2628,6 +2628,59 @@ ORDER BY d.doc_id
 SQL_UNIGRAM_LOGPROB = _sql_unigram_logprob()
 
 
+def q_pmi_pairs(sf_dir: str):
+    """Adjacent-bigram PMI collocations (analytics.pmi_pairs): pair-count
+    combiner partials + the shared unigram table; top-50 by frequency
+    with PMI scores."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return anmod.pmi_pairs(docs, min_count=5, k=50)
+
+
+def _sql_pmi_pairs() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS raw,
+         unnest(range(len(regexp_split_to_array(lower(text), '\\s+'))))
+           AS i
+  FROM documents
+), t2 AS (
+  SELECT doc_id, trim(raw, '{strip_sql}') AS token, i FROM toks
+  WHERE trim(raw, '{strip_sql}') <> ''
+), seq AS (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM t2
+), pairs AS (
+  SELECT a.token AS tok1, b.token AS tok2, COUNT(*) AS n_pair
+  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  GROUP BY a.token, b.token
+), nb AS (
+  SELECT SUM(n_pair) AS n FROM pairs
+), uni AS (
+  SELECT token, COUNT(*) AS c FROM t2 GROUP BY token
+), nu AS (
+  SELECT COUNT(*) AS n FROM t2
+)
+SELECT tok1, tok2, n_pair,
+       ROUND(LN((n_pair * CAST((SELECT n FROM nu) AS DOUBLE)
+                 * CAST((SELECT n FROM nu) AS DOUBLE))
+                / (CAST((SELECT n FROM nb) AS DOUBLE) * ua.c * ub.c)), 6)
+         AS pmi
+FROM pairs JOIN uni ua ON pairs.tok1 = ua.token
+JOIN uni ub ON pairs.tok2 = ub.token
+WHERE n_pair >= 5
+ORDER BY n_pair DESC, tok1, tok2 LIMIT 50
+"""
+
+
+SQL_PMI_PAIRS = _sql_pmi_pairs()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2694,4 +2747,5 @@ REGISTRY = {
     "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
     "cms_events": (q_cms_events, SQL_CMS_EVENTS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
 }

@@ -488,3 +488,31 @@ class TestCMS:
         a = an.cms_counts(_ds(df, 1), "k", query_keys=np.arange(50))
         b = an.cms_counts(_ds(df, 9), "k", query_keys=np.arange(50))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestPMI:
+    def test_matches_brute(self):
+        import math
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["new york new york", "new york city",
+                     "york new haven", "city of new york"],
+        })
+        got = an.pmi_pairs(_ds(df, 2), min_count=2, k=10)
+        # brute
+        from collections import Counter
+        unis, pairs = Counter(), Counter()
+        for t in df.text:
+            w = t.split()
+            unis.update(w)
+            pairs.update(zip(w[:-1], w[1:]))
+        nu, nb = sum(unis.values()), sum(pairs.values())
+        top = got[(got.tok1 == "new") & (got.tok2 == "york")]
+        assert len(top) == 1
+        cab = pairs[("new", "york")]
+        assert int(top.n_pair.iloc[0]) == cab
+        exp = round(math.log((cab * float(nu) * float(nu))
+                             / (float(nb) * unis["new"] * unis["york"])), 6)
+        assert abs(top.pmi.iloc[0] - exp) < 1e-9
+        # pairs below min_count are excluded
+        assert not len(got[(got.tok1 == "new") & (got.tok2 == "haven")])
