@@ -154,3 +154,62 @@ class TestEdgeCases:
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(got.ng2_total) == [0, 0]
         assert list(got.ng2_dup_frac) == [0.0, 0.0]
+
+
+class TestProperties:
+    """Hypothesis property tests over the segment-hash kernels (pure
+    functions — no Ray round-trip, so hypothesis can run many examples)."""
+
+    def test_segment_hash_equality_iff_text_equality(self):
+        from hypothesis import given, settings, strategies as st
+
+        word = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+        doc = st.lists(word, min_size=1, max_size=12)
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(doc, min_size=2, max_size=6), st.integers(1, 4))
+        def prop(docs, width):
+            import pandas as pd
+
+            texts = pd.Series([" ".join(d) for d in docs])
+            s1, s2, srow, _sw, _g, _f, _r = lines._segment_hashes(
+                texts, "words", width)
+            # brute segment strings, aligned windows of `width`
+            segs = []
+            for d in docs:
+                for i in range(0, len(d), width):
+                    segs.append(" ".join(d[i:i + width]))
+            assert len(segs) == len(s1)
+            by_hash = {}
+            for i, (a, b) in enumerate(zip(s1, s2)):
+                by_hash.setdefault((int(a), int(b)), set()).add(segs[i])
+            for (_, _), texts_of_hash in by_hash.items():
+                assert len(texts_of_hash) == 1  # no collisions
+            # identical segments always collide
+            seen = {}
+            for i, s in enumerate(segs):
+                key = (int(s1[i]), int(s2[i]))
+                assert seen.setdefault(s, key) == key
+
+        prop()
+
+    def test_member128_matches_python_set(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.lists(st.integers(0, 2**64 - 1), max_size=40),
+               st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=40))
+        def prop(banned, probes):
+            b1 = np.array(sorted(banned), dtype=np.uint64)
+            b2 = (b1 * np.uint64(3)) | np.uint64(1)
+            order = np.lexsort((b2, b1))
+            b1s, b2s = b1[order], b2[order]
+            p1 = np.array(probes, dtype=np.uint64)
+            p2 = (p1 * np.uint64(3)) | np.uint64(1)
+            got = lines._member128(b1s, b2s, p1, p2)
+            truth = {(int(a), int(b)) for a, b in zip(b1, b2)}
+            exp = np.array([(int(a), int(b)) in truth
+                            for a, b in zip(p1, p2)])
+            np.testing.assert_array_equal(got, exp)
+
+        prop()
