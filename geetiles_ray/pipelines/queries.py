@@ -2681,6 +2681,65 @@ ORDER BY n_pair DESC, tok1, tok2 LIMIT 50
 SQL_PMI_PAIRS = _sql_pmi_pairs()
 
 
+def q_tile_top_tokens(sf_dir: str):
+    """Geo × text synthesis: the 3 most frequent tokens per tile (what is
+    crawled where). Per-batch (tile, token) count partials → one hash
+    aggregation → grouped_topn per tile: the full graft in one query —
+    geocode assignment, shared tokenizer, combiner discipline, window
+    rank."""
+    from . import analytics as anmod
+    from .text import TOKEN_STRIP
+
+    ds = _docs_with_points(sf_dir)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split().explode() \
+            .str.strip(TOKEN_STRIP)
+        keep = (toks != "") & toks.notna()
+        toks = toks[keep]
+        t = pd.DataFrame({
+            "tile_key": df["tile_key"].reindex(toks.index).to_numpy(),
+            "token": toks.to_numpy()})
+        g = t.groupby(["tile_key", "token"], sort=False).size() \
+            .rename("__n").reset_index()
+        return g.astype({"tile_key": "int64", "__n": "int64"})
+
+    partial = ds.map_batches(local, batch_format="pandas")
+    counts = partial.groupby(["tile_key", "token"]).sum("__n") \
+        .map_batches(lambda b: b.rename_columns(
+            ["tile_key", "token", "n"]), batch_format="pyarrow")
+    out = anmod.grouped_topn(counts, ["tile_key"], "n", n=3,
+                             tiebreak="token").to_pandas() \
+        .sort_values(["tile_key", "rank"]).reset_index(drop=True)
+    return out[["tile_key", "token", "n", "rank"]] \
+        .astype({"tile_key": "int64", "n": "int64", "rank": "int64"})
+
+
+def _sql_tile_top_tokens() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return _geo_cte() + f""",
+toks AS (
+  SELECT tile_key,
+         trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM tiled
+), t2 AS (
+  SELECT tile_key, token FROM toks WHERE token <> ''
+), counts AS (
+  SELECT tile_key, token, COUNT(*) AS n FROM t2 GROUP BY tile_key, token
+)
+SELECT tile_key, token, n, "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_key
+                               ORDER BY n DESC, token) AS "rank"
+  FROM counts
+) WHERE "rank" <= 3 ORDER BY tile_key, "rank"
+"""
+
+
+SQL_TILE_TOP_TOKENS = _sql_tile_top_tokens()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2748,4 +2807,5 @@ REGISTRY = {
     "cms_events": (q_cms_events, SQL_CMS_EVENTS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
+    "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
 }
