@@ -542,3 +542,37 @@ def partial_sums(
     partial = ds.select_columns(group_cols + [value_col]) \
         .map_batches(local, batch_format="pyarrow")
     return _finalize_partials(partial, group_cols, sum_alias, reduce)
+
+
+def upsert(base: ray.data.Dataset, updates: ray.data.Dataset,
+           key: str | list[str], order_col: str | list[str] | None = None,
+           nbuckets: int = 64) -> ray.data.Dataset:
+    """Incremental-ingest merge (latest-wins upsert): rows in ``updates``
+    replace same-key rows in ``base``; new keys are appended; within each
+    side, the greatest ``order_col`` wins. The crawl-refresh operation —
+    merge tonight's recrawl into the standing tileset without rewriting
+    unaffected rows' values.
+
+    Physically just union + dedup_exact(keep="last") over (priority,
+    order) — the update side carries priority 1 — so it inherits whatever
+    exchange plan the session's dedup uses (sort groupby default, probed
+    hash-shuffle opt-in) and the same combiner-shaped local pre-dedup.
+    Schemas must match (``updates`` may be a subset of columns ONLY if
+    identical — no partial-column patches; that is a different operator)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [] if order_col is None else (
+        [order_col] if isinstance(order_col, str) else list(order_col))
+
+    def tag(pri: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__pri", pa.array(np.full(len(batch), pri, dtype=np.int8)))
+        return f
+
+    cols = base.schema().names
+    u = base.map_batches(tag(0), batch_format="pyarrow").union(
+        updates.select_columns(cols).map_batches(tag(1),
+                                                 batch_format="pyarrow"))
+    merged = dedup_exact(u, keys, order_col=["__pri"] + orders,
+                         nbuckets=nbuckets, keep="last")
+    return merged.drop_columns(["__pri"])

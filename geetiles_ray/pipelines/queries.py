@@ -2740,6 +2740,57 @@ SELECT tile_key, token, n, "rank" FROM (
 SQL_TILE_TOP_TOKENS = _sql_tile_top_tokens()
 
 
+def q_upsert_orders(sf_dir: str):
+    """Incremental-ingest upsert (dedup.upsert): a deterministic 'recrawl'
+    slice (every 7th order, repriced +11 cents) merges into the standing
+    orders table — updates win, untouched rows flow through, row count
+    invariant. The SQL twin is the textbook anti-join + union."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "cents": pa.array(c)})
+
+    base = orders.map_batches(cents, batch_format="pyarrow")
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        m = k % 7 == 0
+        t = batch.filter(pa.array(m))
+        c = t["cents"].to_numpy() + 11
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": pa.array(c)})
+
+    updates = base.map_batches(recrawl, batch_format="pyarrow")
+    out = dedupmod.upsert(base, updates, key="o_orderkey") \
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return out[["o_orderkey", "o_custkey", "cents"]] \
+        .astype({"cents": "int64"})
+
+
+SQL_UPSERT_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), updates AS (
+  SELECT o_orderkey, o_custkey, cents + 11 AS cents FROM base
+  WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, o_custkey, cents FROM updates
+UNION ALL
+SELECT b.o_orderkey, b.o_custkey, b.cents FROM base b
+WHERE b.o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2808,4 +2859,5 @@ REGISTRY = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
     "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
+    "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
 }

@@ -229,3 +229,30 @@ class TestDedupBroadcastProperties:
                                           check_dtype=False)
 
         check()
+
+
+class TestUpsert:
+    def test_latest_wins_and_appends(self):
+        import pandas as pd
+
+        from geetiles_ray.pipelines.dedup import upsert
+
+        base = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+        upd = pd.DataFrame({"k": [2, 4], "v": [99, 40]})
+        got = upsert(ray.data.from_pandas(base), ray.data.from_pandas(upd),
+                     key="k").to_pandas().sort_values("k") \
+            .reset_index(drop=True)
+        assert got.k.tolist() == [1, 2, 3, 4]
+        assert got.v.tolist() == [10, 99, 30, 40]
+        assert "__pri" not in got.columns
+
+    def test_order_col_resolves_update_duplicates(self):
+        import pandas as pd
+
+        from geetiles_ray.pipelines.dedup import upsert
+
+        base = pd.DataFrame({"k": [1], "ts": [0], "v": [1]})
+        upd = pd.DataFrame({"k": [1, 1], "ts": [5, 9], "v": [50, 90]})
+        got = upsert(ray.data.from_pandas(base), ray.data.from_pandas(upd),
+                     key="k", order_col="ts").to_pandas()
+        assert got.v.tolist() == [90]  # greatest ts among updates wins
