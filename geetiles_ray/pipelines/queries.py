@@ -2791,6 +2791,55 @@ ORDER BY o_orderkey
 """
 
 
+def q_json_props(sf_dir: str):
+    """JSON column extraction (§2.8 json scalar family — the typed twin of
+    the reference's dict-column expansion): parse events.props, pull the
+    'k' field, aggregate per event type. Vectorized extraction via a
+    compiled regex fast-path (the props schema is flat {\"k\": int}) with
+    a json.loads fallback for anything the pattern rejects — regex parse
+    of known-shape JSON is the 10¹²-row path, full parse the correctness
+    net."""
+    import json
+    import re
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    pat = re.compile(r'^\{"k":\s*(-?\d+)\}$')
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["props"].str.extract(pat)[0]
+        miss = m.isna()
+        if miss.any():  # fallback: arbitrary-shape JSON
+            m.loc[miss] = df["props"][miss].map(
+                lambda s: json.loads(s).get("k"))
+        k = m.astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    parsed = ev.map_batches(extract, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["k"]
+        return pd.DataFrame({"event_type": g.sum().index,
+                             "__s": g.sum().to_numpy().astype("int64"),
+                             "__n": g.size().to_numpy().astype("int64"),
+                             "__mx": g.max().to_numpy().astype("int64")})
+
+    agg = parsed.map_batches(partial, batch_format="pandas") \
+        .to_pandas().groupby("event_type").agg(
+            sum_k=("__s", "sum"), n=("__n", "sum"), max_k=("__mx", "max")) \
+        .reset_index().sort_values("event_type").reset_index(drop=True)
+    return agg.astype({"sum_k": "int64", "n": "int64", "max_k": "int64"})
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2860,4 +2909,5 @@ REGISTRY = {
     "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
     "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
     "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
 }
