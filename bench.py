@@ -45,7 +45,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "tfidf_terms", "lang_quantiles", "quality_filter",
                  "orders_join_bloom", "events_zscore", "repetition_stats",
                  "host_cap", "events_outliers", "hll_users", "cms_events",
-                 "unigram_logprob", "pmi_pairs", "pagerank_docs"]
+                 "unigram_logprob", "pmi_pairs", "pagerank_docs",
+                 "tile_top_tokens", "upsert_orders", "json_props"]
 
 
 def host_probe() -> dict:

@@ -2705,11 +2705,20 @@ def q_tile_top_tokens(sf_dir: str):
         return g.astype({"tile_key": "int64", "__n": "int64"})
 
     partial = ds.map_batches(local, batch_format="pandas")
-    counts = partial.groupby(["tile_key", "token"]).sum("__n") \
-        .map_batches(lambda b: b.rename_columns(
-            ["tile_key", "token", "n"]), batch_format="pyarrow")
-    out = anmod.grouped_topn(counts, ["tile_key"], "n", n=3,
-                             tiebreak="token").to_pandas() \
+    # fold the (tile, token) partials on the driver: tiles × vocab is
+    # catalog-sized (7.7k rows at sf0.1) and the sort-aggregate reduce was
+    # measured at 105 s of task time for that result — the token_postings
+    # driver-fold lesson; grouped_topn's exchange path stays exercised by
+    # top_orders_per_customer
+    frames = [b for b in partial.iter_batches(batch_size=1 << 20,
+                                              batch_format="pandas")]
+    counts = pd.concat(frames, ignore_index=True) \
+        .groupby(["tile_key", "token"], sort=False)["__n"].sum() \
+        .rename("n").reset_index()
+    d = counts.sort_values(["tile_key", "n", "token"],
+                           ascending=[True, False, True], kind="mergesort")
+    r = d.groupby("tile_key", sort=False).cumcount()
+    out = d[r < 3].assign(rank=(r[r < 3] + 1).astype("int64")) \
         .sort_values(["tile_key", "rank"]).reset_index(drop=True)
     return out[["tile_key", "token", "n", "rank"]] \
         .astype({"tile_key": "int64", "n": "int64", "rank": "int64"})
