@@ -180,7 +180,7 @@ def _quantiles_in_range(s: ray.data.Dataset, col: str, ranks: dict,
 
 # ----------------------------------------------------------- heavy hitters
 
-from .text import TOKEN_STRIP  # noqa: E402 — the LangId tokenizer's strip set
+from .text import TOKEN_STRIP, tokenize  # noqa: E402 — the LangId tokenizer
 
 
 def top_tokens(ds: ray.data.Dataset, text_col: str = "text", k: int = 50,
@@ -197,9 +197,7 @@ def top_tokens(ds: ray.data.Dataset, text_col: str = "text", k: int = 50,
     merges ≤ blocks·k rows. The corpus never moves; the vocabulary does,
     pre-aggregated."""
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        vc = toks[(toks != "") & toks.notna()].value_counts()
+        vc = tokenize(df[text_col]).value_counts()
         return pd.DataFrame({"token": vc.index.astype(str),
                              "__partial": vc.to_numpy().astype("int64")})
 
@@ -368,10 +366,7 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
     from ray.data.aggregate import Min, Sum
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        keep = (toks != "") & toks.notna()
-        toks = toks[keep]
+        toks = tokenize(df[text_col])
         docs = df[id_col].reindex(toks.index)
         t = pd.DataFrame({"token": toks.to_numpy(),
                           "doc": docs.to_numpy()})
@@ -432,10 +427,7 @@ def tfidf_topk(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         dfm = _ray.get(df_ref)
-        toks = df[text_col].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        keep = (toks != "") & toks.notna()
-        toks = toks[keep]
+        toks = tokenize(df[text_col])
         t = pd.DataFrame({"doc_id": df[id_col].reindex(toks.index).to_numpy(),
                           "token": toks.to_numpy()})
         tf = t.groupby(["doc_id", "token"], sort=False).size() \
@@ -616,10 +608,7 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     from .text import TOKEN_STRIP
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        keep = (toks != "") & toks.notna()
-        toks = toks[keep]
+        toks = tokenize(df[text_col])
         rows = toks.index.to_numpy()
         t = toks.to_numpy()
         if len(t) < 2:

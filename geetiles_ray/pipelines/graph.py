@@ -38,7 +38,8 @@ SCALE = 10 ** 12
 def pagerank(edges: ray.data.Dataset, n_nodes: int, iters: int = 3,
              src: str = "src", dst: str = "dst",
              scale: int = SCALE, nbuckets: int = 32,
-             broadcast_limit: int = 8_000_000) -> ray.data.Dataset:
+             broadcast_limit: int = 8_000_000,
+             materialize_edges: bool = True) -> ray.data.Dataset:
     """Integer PageRank over a dense node-id space 0..n_nodes−1.
     Returns a Dataset (node:int64, r:int64).
 
@@ -60,6 +61,13 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int, iters: int = 3,
     from ..stages.joins import join_on_identifier
 
     if 0 < n_nodes <= broadcast_limit:
+        # materialize once: the degree pass + every iteration re-scans
+        # edges; without this a derived edge pipeline (read + synth map)
+        # re-executes iters+1 times. Pass materialize_edges=False when
+        # edges is a plain file source bigger than the object store —
+        # re-reading parquet beats spilling it
+        if materialize_edges:
+            edges = edges.materialize()
         r_init = scale // n_nodes
         base = (15 * r_init) // 100
         # sparse per-block partials: (node, partial) pairs, ≤ distinct

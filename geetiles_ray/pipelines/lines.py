@@ -21,11 +21,11 @@ each is identified by a 128-bit positional fold of per-word 64-bit hashes
 pass 2 is ONE map-side rewrite — no all-to-all exchange anywhere.
 
 Scale regime: the fold sees |distinct segments per batch| partial rows
-(24 B each) and the broadcast is O(duplicate segments). ``fold="driver"``
-(default) np-folds partials on the driver — right while distinct segments
-fit driver RAM (billions of 24 B rows ≈ tens of GB: beyond that pass
-``fold="groupby"`` to route partials through a hash aggregation and
-collect only the post-filter banned rows).
+(24 B each) and the broadcast is O(duplicate segments). The default
+``fold="range"`` distributes the fold as dup_key_set-style range tasks;
+``fold="driver"`` serial-folds on the driver (fine for small partials);
+``fold="groupby"`` routes partials through a hash aggregation when even
+one range's slice would not fit a single fold task.
 
 Determinism contract: ``ds`` is scanned twice and MUST re-scan
 identically (file source or materialized) — same contract as
@@ -307,7 +307,7 @@ def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
     128-bit positional fold as segment_dedup (no n-gram strings built).
 
     Output adds, per n: ``ng{n}_total`` (int64) and ``ng{n}_dup_frac``
-    (round 6; 0.0 when a doc has no full window)."""
+    (unrounded IEEE; 0.0 when a doc has no full window)."""
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
@@ -347,7 +347,10 @@ def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
                 distinct = np.zeros(nrows, dtype=np.int64)
             frac = np.zeros(nrows, dtype=np.float64)
             nz = total > 0
-            frac[nz] = np.round(1.0 - distinct[nz] / total[nz], 6)
+            # unrounded: 1 − (exact int division) is the same IEEE ops on
+            # both engines; rounding would add half-even/half-away tie
+            # divergence on power-of-two totals
+            frac[nz] = 1.0 - distinct[nz] / total[nz]
             cols[f"ng{n}_total"] = pa.array(total)
             cols[f"ng{n}_dup_frac"] = pa.array(frac)
         return pa.table(cols)

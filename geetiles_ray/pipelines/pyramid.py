@@ -83,10 +83,13 @@ def rollup_pyramid(base_cells: ray.data.Dataset, base_zoom: int,
     map_batches parent-shift + groupby over the previous level, keeping
     every step distributed)."""
     if cascade == "dataset":
+        # materialize each level: without this every coarser zoom would
+        # re-execute the whole lineage INCLUDING the corpus scan (measured:
+        # 5 scans for a 5-level pyramid), defeating the scan-once contract
         lvl = base_cells.map_batches(
             lambda b: pa.table({"tx": b["tx"], "ty": b["ty"],
                                 "__n": b["sum(__n)"]}),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
         frames = []
         for z in range(base_zoom, min_zoom - 1, -1):
             t = lvl.map_batches(
@@ -112,7 +115,7 @@ def rollup_pyramid(base_cells: ray.data.Dataset, base_zoom: int,
                     .groupby(["tx", "ty"]).sum("__n").map_batches(
                         lambda b: pa.table({"tx": b["tx"], "ty": b["ty"],
                                             "__n": b["sum(__n)"]}),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow").materialize()
         out = pd.concat(frames, ignore_index=True)
     else:
         base = base_cells.to_pandas().rename(columns={"sum(__n)": "n"})

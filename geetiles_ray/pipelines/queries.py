@@ -435,7 +435,10 @@ def q_text_features(sf_dir: str):
             "doc_id": df.doc_id,
             "n_chars_calc": n_chars,
             "n_words": n_words,
-            "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(6),
+            # unrounded: one IEEE division — bit-identical both engines;
+            # round(6) would diverge on exact-rational ties (half-even vs
+            # DuckDB half-away)
+            "punct_ratio": n_punct / n_chars.clip(lower=1),
         })
 
     out = docs.filter(lambda r: r["doc_id"] < 100) \
@@ -447,8 +450,8 @@ SQL_TEXT_FEATURES = r"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_calc,
        LEN(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
-       ROUND(LEN(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))
-             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio
+       LEN(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))
+         / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio
 FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
@@ -2087,9 +2090,13 @@ def q_quality_filter(sf_dir: str):
     def scorefn(df: pd.DataFrame) -> pd.DataFrame:
         n_chars = df.text.str.len().astype("int64")
         n_toks = (df.text.str.count(" ") + 1).astype("int64")
+        # NO rounding: the score is one IEEE division, bit-identical on
+        # both engines — round(6) would ADD divergence (numpy rounds
+        # half-to-even, DuckDB half-away; exact binary rationals like
+        # n/128 tie at the 7th decimal)
         return pd.DataFrame({
             "doc_id": df.doc_id,
-            "qual": (n_chars / n_toks.clip(lower=1)).round(6)})
+            "qual": n_chars / n_toks.clip(lower=1)})
 
     scored = docs.map_batches(scorefn, batch_format="pandas")
     thr = float(anmod.quantiles_exact(scored, "qual", [0.25]).value[0])
@@ -2102,9 +2109,9 @@ def q_quality_filter(sf_dir: str):
 SQL_QUALITY_FILTER = """
 WITH scored AS (
   SELECT doc_id,
-         ROUND(LENGTH(text) /
-               CAST(GREATEST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
-                             + 1, 1) AS DOUBLE), 6) AS qual
+         LENGTH(text) /
+         CAST(GREATEST(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                       + 1, 1) AS DOUBLE) AS qual
   FROM documents
 )
 SELECT doc_id, qual FROM scored
@@ -2262,11 +2269,11 @@ WITH toks AS (
 SELECT d.doc_id,
        COALESCE(t2, 0) AS ng2_total,
        CASE WHEN COALESCE(t2, 0) > 0
-            THEN ROUND(1 - d2 / CAST(t2 AS DOUBLE), 6) ELSE 0.0 END
+            THEN 1 - d2 / CAST(t2 AS DOUBLE) ELSE 0.0 END
          AS ng2_dup_frac,
        COALESCE(t3, 0) AS ng3_total,
        CASE WHEN COALESCE(t3, 0) > 0
-            THEN ROUND(1 - d3 / CAST(t3 AS DOUBLE), 6) ELSE 0.0 END
+            THEN 1 - d3 / CAST(t3 AS DOUBLE) ELSE 0.0 END
          AS ng3_dup_frac
 FROM documents d
 LEFT JOIN s2 ON d.doc_id = s2.doc_id
@@ -2687,16 +2694,12 @@ def q_tile_top_tokens(sf_dir: str):
     aggregation → grouped_topn per tile: the full graft in one query —
     geocode assignment, shared tokenizer, combiner discipline, window
     rank."""
-    from . import analytics as anmod
-    from .text import TOKEN_STRIP
+    from .text import tokenize
 
     ds = _docs_with_points(sf_dir)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        keep = (toks != "") & toks.notna()
-        toks = toks[keep]
+        toks = tokenize(df["text"])
         t = pd.DataFrame({
             "tile_key": df["tile_key"].reindex(toks.index).to_numpy(),
             "token": toks.to_numpy()})
@@ -2715,10 +2718,9 @@ def q_tile_top_tokens(sf_dir: str):
     counts = pd.concat(frames, ignore_index=True) \
         .groupby(["tile_key", "token"], sort=False)["__n"].sum() \
         .rename("n").reset_index()
-    d = counts.sort_values(["tile_key", "n", "token"],
-                           ascending=[True, False, True], kind="mergesort")
-    r = d.groupby("tile_key", sort=False).cumcount()
-    out = d[r < 3].assign(rank=(r[r < 3] + 1).astype("int64")) \
+    from .analytics import _topn_kernel
+    out = _topn_kernel(counts, ["tile_key"], "n", 3, ascending=False,
+                       tiebreak="token", with_rank=True) \
         .sort_values(["tile_key", "rank"]).reset_index(drop=True)
     return out[["tile_key", "token", "n", "rank"]] \
         .astype({"tile_key": "int64", "n": "int64", "rank": "int64"})

@@ -25,6 +25,17 @@ STOPWORDS = {
 TOKEN_STRIP = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
 
+def tokenize(texts: pd.Series) -> pd.Series:
+    """THE shared tokenizer (lowercase → whitespace split → strip edge
+    punctuation → drop empties), exploded with the owning row index.
+    Every operator whose SQL twin tokenizes (token_postings, top_tokens,
+    tfidf, PMI, unigram LM, per-tile tokens, lang-id) must call THIS —
+    the twins replay this exact sequence in SQL, and a drifted copy
+    silently breaks only its own oracle."""
+    toks = texts.str.lower().str.split().explode().str.strip(TOKEN_STRIP)
+    return toks[(toks != "") & toks.notna()]
+
+
 class LangId:
     """Stopword heuristic language id: lowercase, whitespace-split, strip
     edge punctuation, count exact stopword-token hits per language + a CJK
@@ -169,10 +180,7 @@ class UnigramScore:
         self.total = float(total_tokens)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[self.text_col].str.lower().str.split().explode() \
-            .str.strip(TOKEN_STRIP)
-        keep = (toks != "") & toks.notna()
-        toks = toks[keep]
+        toks = tokenize(df[self.text_col])
         cnt = toks.map(self.probs).fillna(0).to_numpy(dtype=np.float64)
         # add-one smoothing keeps unseen tokens finite; same formula in SQL
         lp = np.log((cnt + 1.0) / (self.total + 1.0))

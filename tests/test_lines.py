@@ -120,7 +120,7 @@ class TestRepetitionStats:
             grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
             if not grams:
                 return 0, 0.0
-            return len(grams), round(1 - len(set(grams)) / len(grams), 6)
+            return len(grams), 1 - len(set(grams)) / len(grams)
 
         for i, t in enumerate(df.text):
             for n in (2, 3):
