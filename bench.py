@@ -46,7 +46,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "orders_join_bloom", "events_zscore", "repetition_stats",
                  "host_cap", "events_outliers", "hll_users", "cms_events",
                  "unigram_logprob", "pmi_pairs", "pagerank_docs",
-                 "tile_top_tokens", "upsert_orders", "json_props"]
+                 "tile_top_tokens", "upsert_orders", "json_props",
+                 "event_sessions"]
 
 
 def host_probe() -> dict:

@@ -2851,6 +2851,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_event_sessions(sf_dir: str):
+    """Per-event session ids (temporal.session_windows, 30-min gap): the
+    sessionization operator promoted from the user_sessions aggregate to
+    row-level output — every event labeled with its 0-based session index
+    within its user timeline. Integer µs timestamps → the gap comparison
+    and ids are engine-exact."""
+    from ..stages import temporal as tmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": batch["ts"].cast(pa.int64())})
+
+    out = tmod.session_windows(ev.map_batches(to_us, batch_format="pyarrow"),
+                               key="user_id", ts="ts_us",
+                               gap=30 * 60 * 1_000_000,
+                               order_tiebreak="event_id") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "ts_us", "session_id"]] \
+        .astype({"session_id": "int64"})
+
+
+SQL_EVENT_SESSIONS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), lagged AS (
+  SELECT event_id, user_id, ts_us,
+         LAG(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS prev_ts
+  FROM e
+)
+SELECT event_id, user_id, ts_us,
+       SUM(CASE WHEN prev_ts IS NOT NULL
+                 AND ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_id
+FROM lagged ORDER BY event_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -2921,4 +2965,5 @@ REGISTRY = {
     "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
     "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
 }

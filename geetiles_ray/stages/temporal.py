@@ -428,3 +428,49 @@ def hopping_windows(ds: ray.data.Dataset, ts: str, length: int, hop: int,
                                  pa.array(base[idx] - k * hop, type=pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def session_windows(ds: ray.data.Dataset, key: str, ts: str,
+                    gap: int, order_tiebreak: str | None = None,
+                    out_col: str = "session_id",
+                    nbuckets: int = 32) -> ray.data.Dataset:
+    """Sessionization: assign every row a 0-based per-key session id,
+    incremented whenever the gap to the previous event of the same key
+    exceeds ``gap`` (same units as ``ts`` — keep ``ts`` integer so the
+    comparison is engine-exact). The streaming-window operator behind
+    user_sessions, promoted to a first-class stage: one key-hash exchange
+    (grouped_apply — sort default, probed hash plan opt-in), then a
+    vectorized sort + diff + cumsum kernel per bucket; no per-row Python,
+    no state actor (the exchange co-locates each key's whole timeline,
+    which is the partitioning assumption — a key's events must fit one
+    task, true for user/host timelines at any corpus size)."""
+    tb = [order_tiebreak] if order_tiebreak else []
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__bucket"])
+        d = df.sort_values([key, ts] + tb, kind="mergesort")
+        kk = d[key].to_numpy()
+        tt = d[ts].to_numpy()
+        new_key = np.empty(len(d), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kk[1:] != kk[:-1]
+        brk = np.empty(len(d), dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = ((tt[1:] - tt[:-1]) > gap).astype(np.int64)
+        brk[new_key] = 0
+        sid = np.cumsum(brk)
+        # restart the running count at each key boundary
+        base = np.zeros(len(d), dtype=np.int64)
+        starts = np.nonzero(new_key)[0]
+        base[starts] = sid[starts]
+        d[out_col] = sid - np.maximum.accumulate(base)
+        return d.drop(columns=["__bucket"])
+
+    return grouped_apply(tagged, kernel, nbuckets)

@@ -516,3 +516,34 @@ class TestPMI:
         assert abs(top.pmi.iloc[0] - exp) < 1e-9
         # pairs below min_count are excluded
         assert not len(got[(got.tok1 == "new") & (got.tok2 == "haven")])
+
+
+class TestSessionWindows:
+    def test_matches_brute(self):
+        rng = np.random.default_rng(14)
+        n = 500
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 20, n).astype("int64"),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+        })
+        got = tmp.session_windows(_ds(df), key="user_id", ts="ts", gap=100,
+                                  order_tiebreak="event_id") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        brk = (exp.ts.diff() > 100) & (exp.user_id.diff() == 0)
+        sid = brk.cumsum()
+        exp["session_id"] = sid - sid.groupby(exp.user_id).transform("min")
+        exp = exp.sort_values("event_id").reset_index(drop=True)
+        np.testing.assert_array_equal(got.session_id.to_numpy(),
+                                      exp.session_id.to_numpy())
+
+    def test_single_key_gap_edges(self):
+        df = pd.DataFrame({"event_id": [0, 1, 2, 3],
+                           "user_id": [7, 7, 7, 7],
+                           "ts": [0, 100, 201, 900]})
+        got = tmp.session_windows(_ds(df, 1), key="user_id", ts="ts",
+                                  gap=100, order_tiebreak="event_id") \
+            .to_pandas().sort_values("event_id")
+        # gap of exactly 100 does NOT break; 101 and 699 do
+        assert got.session_id.tolist() == [0, 0, 1, 2]
