@@ -16,16 +16,26 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-# scheme://host[path]  (path stops at ? or #; query/fragment dropped)
+# scheme://authority[path]  (path stops at ? or #; query/fragment dropped)
 _URL_RE = r"^([a-z][a-z0-9+.\-]*)://([^/?#]+)([^?#]*)"
 _DOMAIN_RE = r"([^.]+\.[^.]+)$"
+# authority = [userinfo@]host[:port] — both decorations must be stripped
+# before host/domain extraction or 'example.com:8080' yields domain
+# 'com:8080' (round-3 advisor finding).
+_USERINFO_RE = r"^[^@]*@"
+_PORT_RE = r":[0-9]*$"
 
 
 def parse_urls(urls: pd.Series) -> pd.DataFrame:
     """urls → DataFrame(scheme, host, domain, path). Unparseable rows get
-    empty strings (never NaN — keeps Arrow schemas stable)."""
+    empty strings (never NaN — keeps Arrow schemas stable). The host is
+    the bare hostname: userinfo@ and :port are stripped from the URL
+    authority."""
     parts = urls.str.extract(_URL_RE)
     parts.columns = ["scheme", "host", "path"]
+    parts["host"] = parts["host"] \
+        .str.replace(_USERINFO_RE, "", regex=True) \
+        .str.replace(_PORT_RE, "", regex=True)
     parts["domain"] = parts["host"].str.extract(_DOMAIN_RE)[0]
     return parts[["scheme", "host", "domain", "path"]].fillna("")
 

@@ -17,7 +17,19 @@ import ray.data
 from .dedup import _finalize_partials
 
 _MIX = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (splitmix64's golden gamma)
+_MIX2 = 0xC2B2AE3D27D4EB4F  # murmur3 fmix c2 — seeds the CMS row family
 _M64 = (1 << 64) - 1
+
+
+def cms_row_multipliers(depth: int) -> np.ndarray:
+    """Per-row odd multipliers for the Count-Min hash family:
+    M_d = (MIX xor d·MIX2) | 1 (mod 2^64). Forcing the low bit keeps
+    every multiplier odd (a bijection mod 2^64), so each row is an
+    independent-looking permutation of the key space; d=0 reproduces
+    MIX itself. Shared with SQL_CMS_EVENTS, which inlines these values
+    as literals."""
+    d = np.arange(depth, dtype=np.uint64)
+    return (np.uint64(_MIX) ^ (d * np.uint64(_MIX2))) | np.uint64(1)
 
 
 # ------------------------------------------------------------ grouped top-N
@@ -544,8 +556,12 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
                width: int = 1 << 12,
                query_keys: np.ndarray | None = None):
     """Count-Min sketch for approximate per-key frequencies: ``depth``
-    rows of ``width`` counters; row d uses hash ((key+1)·MIX + d·MIX2)
-    (splitmix family), estimate(key) = min over rows. Counter matrices
+    rows of ``width`` counters; row d uses hash (key+1)·M_d with a
+    DISTINCT ODD multiplier per row, M_d = (MIX xor d·MIX2) | 1 — the
+    row index must enter multiplicatively, not additively: with
+    h_d = h_0 + d·const and power-of-two width every row shares one
+    collision structure and min-over-rows buys nothing (round-3 advisor
+    finding). estimate(key) = min over rows. Counter matrices
     ADD-merge — commutative — so each block ships one depth×width int64
     partial (constant size) and any partitioning/retry gives identical
     counters. Overestimates only (never under), by ≤ εN w.h.p. with
@@ -554,14 +570,13 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
     Returns (matrix, estimate_fn) — and, when ``query_keys`` is given, a
     DataFrame (key, est) of point estimates (all integer arithmetic, so
     the whole sketch replays in HUGEINT SQL — SQL_CMS_EVENTS)."""
-    mix2 = 0xC2B2AE3D27D4EB4F
+    mults = cms_row_multipliers(depth)
 
     def local(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy().astype(np.uint64)
         mat = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
-            h = (k + np.uint64(1)) * np.uint64(_MIX) \
-                + np.uint64(d) * np.uint64(mix2)
+            h = (k + np.uint64(1)) * mults[d]
             np.add.at(mat[d], (h % np.uint64(width)).astype(np.int64), 1)
         return pa.table({"__m": pa.array([mat.tobytes()],
                                          type=pa.binary())})
@@ -578,8 +593,7 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
         k = np.asarray(keys).astype(np.uint64)
         est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
         for d in range(depth):
-            h = (k + np.uint64(1)) * np.uint64(_MIX) \
-                + np.uint64(d) * np.uint64(mix2)
+            h = (k + np.uint64(1)) * mults[d]
             est = np.minimum(est, acc[d, (h % np.uint64(width))
                                       .astype(np.int64)])
         return est

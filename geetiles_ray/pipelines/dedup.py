@@ -187,6 +187,12 @@ def dup_key_set(ds: ray.data.Dataset, key: str | list[str],
         def split_partial(t):
             h = t["__h"].to_numpy()
             c = t["__partial"].to_numpy()
+            # np.unique output is sorted per `local` call, but one block ==
+            # one map output is a Ray-internal invariant; re-sort
+            # defensively so block bundling can't mis-route hashes.
+            if len(h) and np.any(h[1:] < h[:-1]):
+                order = np.argsort(h, kind="stable")
+                h, c = h[order], c[order]
             idx = np.searchsorted(h, cuts)
             # .copy(): ship the slice, not a view pinning the whole block
             return tuple((hs.copy(), cs.copy())

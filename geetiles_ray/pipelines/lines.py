@@ -181,7 +181,15 @@ def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
             h1 = t["__h1"].to_numpy()
             h2 = t["__h2"].to_numpy()
             c = t["__n"].to_numpy()
-            idx = np.searchsorted(h1, cuts)  # rows are h1-primary sorted
+            # Each `local` output is h1-primary sorted, but "one block ==
+            # one map output" is a Ray-internal invariant (block bundling
+            # or dynamic splitting could concatenate several runs), so
+            # re-sort defensively rather than silently mis-route hashes
+            # across ranges — O(n log n) on a tiny partial.
+            if len(h1) and np.any(h1[1:] < h1[:-1]):
+                order = np.lexsort((h2, h1))
+                h1, h2, c = h1[order], h2[order], c[order]
+            idx = np.searchsorted(h1, cuts)
             return tuple(
                 (a.copy(), b.copy(), d.copy())
                 for a, b, d in zip(np.split(h1, idx), np.split(h2, idx),

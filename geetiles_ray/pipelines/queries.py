@@ -1785,9 +1785,13 @@ ORDER BY d.doc_id
 """
 
 
-_URL_SYNTH_SQL = ("('https://' || lang || '.site' || CAST(doc_id % 19 AS "
-                  "VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) || "
-                  "'?ref=r' || CAST(doc_id % 7 AS VARCHAR))")
+# Some rows carry userinfo@ / :port decorations so the oracle
+# value-checks that parsing strips them (round-3 advisor finding).
+_URL_SYNTH_SQL = ("('https://' || CASE WHEN doc_id % 17 = 0 THEN 'u:pw@' "
+                  "ELSE '' END || lang || '.site' || CAST(doc_id % 19 AS "
+                  "VARCHAR) || '.example' || CASE WHEN doc_id % 13 = 0 THEN "
+                  "':8080' ELSE '' END || '/p/' || CAST(doc_id AS VARCHAR) "
+                  "|| '?ref=r' || CAST(doc_id % 7 AS VARCHAR))")
 
 
 def q_domain_stats(sf_dir: str):
@@ -1806,7 +1810,9 @@ def q_domain_stats(sf_dir: str):
     def synth(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
         langs = batch["lang"].to_pylist()
-        urls = [f"https://{lg}.site{int(i) % 19}.example/p/{int(i)}"
+        urls = [f"https://{'u:pw@' if i % 17 == 0 else ''}"
+                f"{lg}.site{int(i) % 19}.example"
+                f"{':8080' if i % 13 == 0 else ''}/p/{int(i)}"
                 f"?ref=r{int(i) % 7}" for lg, i in zip(langs, d)]
         return pa.table({"url": pa.array(urls, type=pa.string()),
                          "lang": batch["lang"],
@@ -1821,7 +1827,9 @@ WITH pages AS (
   SELECT doc_id, lang, n_chars, {_URL_SYNTH_SQL} AS url FROM documents
 ), parsed AS (
   SELECT lang, n_chars,
-         regexp_extract(url, '^([a-z][a-z0-9+.\\-]*)://([^/?#]+)', 2) AS host
+         regexp_replace(regexp_replace(
+           regexp_extract(url, '^([a-z][a-z0-9+.\\-]*)://([^/?#]+)', 2),
+           '^[^@]*@', ''), ':[0-9]*$', '') AS host
   FROM pages
 ), dom AS (
   SELECT lang, n_chars, host,
@@ -1829,7 +1837,7 @@ WITH pages AS (
   FROM parsed
 )
 SELECT domain, COUNT(*) AS n_pages, COUNT(DISTINCT host) AS n_hosts,
-       COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS sum_chars
+       COUNT(DISTINCT lang) AS n_langs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM dom GROUP BY domain ORDER BY domain
 """
 
@@ -1859,8 +1867,8 @@ def _sql_tile_pyramid() -> str:
     for z in range(4, -1, -1):
         shift = 1 << (4 - z)
         levels.append(
-            f"SELECT {z} AS zoom, (ty // {shift}) * {1 << z} + "
-            f"(tx // {shift}) AS cell_key, SUM(n) AS n_pages "
+            f"SELECT CAST({z} AS BIGINT) AS zoom, (ty // {shift}) * {1 << z} + "
+            f"(tx // {shift}) AS cell_key, CAST(SUM(n) AS BIGINT) AS n_pages "
             f"FROM base GROUP BY 2")
     return _geo_cte() + f""",
 base AS (
@@ -1923,7 +1931,7 @@ WITH o AS (
   JOIN region ON n_regionkey = r_regionkey
 )
 SELECT COALESCE(region, 'ALL') AS region, COALESCE(nation, 'ALL') AS nation,
-       COUNT(*) AS n_orders, SUM(cents) AS sum_cents
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM o GROUP BY ROLLUP(region, nation)
 ORDER BY region, nation
 """
@@ -1965,9 +1973,9 @@ WITH e AS (
   FROM events
 )
 SELECT event_id, user_id, ts, cents,
-       SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS running_cents
+            AS BIGINT) AS running_cents
 FROM e ORDER BY user_id, ts, event_id
 """
 
@@ -2566,20 +2574,24 @@ def q_cms_events(sf_dir: str):
         .astype({"key": "int64", "est": "int64"})
 
 
-SQL_CMS_EVENTS = f"""
-WITH ds_ AS (SELECT unnest(range(4)) AS d),
+def _sql_cms_events() -> str:
+    # Same key-dependent row family as analytics.cms_row_multipliers —
+    # inlined as literals so the oracle replays the exact hash.
+    from .analytics import cms_row_multipliers
+    mults = ", ".join(f"({d}, {int(m)}::HUGEINT)"
+                      for d, m in enumerate(cms_row_multipliers(4)))
+    return f"""
+WITH ds_ AS (SELECT * FROM (VALUES {mults}) AS t(d, mult)),
 ctr AS (
   SELECT d,
-         CAST((((user_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT
-                + d * {0xC2B2AE3D27D4EB4F}::HUGEINT)
+         CAST((((user_id::HUGEINT + 1) * mult)
                & {(1 << 64) - 1}::HUGEINT) % 4096 AS BIGINT) AS slot,
          COUNT(*) AS c
   FROM events, ds_ GROUP BY 1, 2
 ), q AS (SELECT unnest(range(20)) AS key),
 qs AS (
   SELECT q.key, ds_.d,
-         CAST((((q.key::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT
-                + ds_.d * {0xC2B2AE3D27D4EB4F}::HUGEINT)
+         CAST((((q.key::HUGEINT + 1) * ds_.mult)
                & {(1 << 64) - 1}::HUGEINT) % 4096 AS BIGINT) AS slot
   FROM q, ds_
 )
@@ -2587,6 +2599,9 @@ SELECT qs.key, MIN(COALESCE(ctr.c, 0))::BIGINT AS est
 FROM qs LEFT JOIN ctr ON qs.d = ctr.d AND qs.slot = ctr.slot
 GROUP BY qs.key ORDER BY qs.key
 """
+
+
+SQL_CMS_EVENTS = _sql_cms_events()
 
 
 def q_unigram_logprob(sf_dir: str):

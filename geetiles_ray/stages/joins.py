@@ -262,6 +262,20 @@ def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
                 for n, t in zip(left.schema().names, left.schema().types)}
     r_dtypes = {n: _pd_dtype(t)
                 for n, t in zip(right.schema().names, right.schema().types)}
+    # post-merge dtype contract: unmatched left rows put NaN in the right
+    # columns, which silently upcasts int64→float64 in SOME blocks (the
+    # ones with non-matches) but not others — and diverges from the Arrow
+    # typed-null blocks the Bloom bypass emits. Cast merged int/bool right
+    # columns to the pandas nullable twin so every block round-trips to
+    # the same Arrow type (Int64+NA → int64 with nulls).
+    _nullable = {pa.int8(): "Int8", pa.int16(): "Int16",
+                 pa.int32(): "Int32", pa.int64(): "Int64",
+                 pa.uint8(): "UInt8", pa.uint16(): "UInt16",
+                 pa.uint32(): "UInt32", pa.uint64(): "UInt64",
+                 pa.bool_(): "boolean"}
+    r_arrow = dict(zip(right.schema().names, right.schema().types))
+    r_nullable = {c: _nullable[r_arrow[c]] for c in rcols
+                  if c in r_arrow and r_arrow[c] in _nullable}
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         lg = group[group["__side"] == 0][l_names]
@@ -277,7 +291,8 @@ def join_on_identifier(left: ray.data.Dataset, right: ray.data.Dataset,
                        copy=False)
         rg = rg.astype({c: r_dtypes[c] for c in [key] + rcols
                         if c in r_dtypes}, copy=False)
-        return lg.merge(rg, on=key, how="left")
+        out = lg.merge(rg, on=key, how="left")
+        return out.astype(r_nullable, copy=False) if r_nullable else out
 
     # union of two different schemas needs identical columns: pad each side
     def pad(missing_cols, types):
@@ -395,6 +410,19 @@ def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
     JOIN semantics. Bloom false positives merely ride the exchange and
     fall out of the merge as ordinary non-matches.
 
+    CONTRACT — deterministic rescan: ``left`` is executed TWICE (once per
+    Bloom split). A non-deterministic upstream (unseeded sampling/shuffle,
+    wall-clock columns) silently drops or duplicates rows between the two
+    paths; such inputs must be ``left.materialize()``-ed by the caller
+    first. The default deliberately re-reads rather than materializing —
+    pinning a 100-TB left in the object store is the bigger failure mode,
+    and deterministic re-reads are the norm for Parquet-rooted pipelines
+    (dedup_exact_twopass documents the same contract).
+
+    Schema: the merged path casts right int/bool columns to pandas
+    nullable twins (→ Arrow int64+null) and the bypass pads the same
+    Arrow types, so every block of the union shares one schema.
+
     The 100-TB case this exists for: a crawl joined against a
     much-smaller-than-the-crawl (but too big to broadcast as values)
     reference table — e.g. 10¹² pages ⋈ 10⁹ flagged urls. The bitset is
@@ -429,6 +457,20 @@ def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
     # the merge kernel emits exactly left-columns + rcols; order the
     # bypass identically WITHOUT joined.schema() (which would execute)
     out_names = list(left.schema().names) + rcols
+    # the merge kernel yields pandas blocks, the bypass Arrow blocks —
+    # mixed block types break cross-block batching downstream. Convert
+    # the merged path to Arrow under ONE explicit schema (an all-null
+    # batch would otherwise infer pa.null and diverge from the bypass).
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    target = pa.schema([(n, l_schema.get(n) or r_schema[n])
+                        for n in out_names])
+
+    def to_arrow(df) -> pa.Table:
+        return pa.Table.from_pandas(df[out_names], schema=target,
+                                    preserve_index=False)
+
+    joined = joined.map_batches(to_arrow, batch_format="pandas",
+                                zero_copy_batch=True)
     bypass = never.map_batches(pad_right, batch_format="pyarrow") \
         .select_columns(out_names)
     return joined.union(bypass)

@@ -379,6 +379,25 @@ class TestBloomJoin:
             b[["identifier", "lv", "rv"]].astype({"rv": "float64"}),
             exp[["identifier", "lv", "rv"]].astype({"rv": "float64"}))
 
+    def test_unified_int_schema_across_paths(self):
+        # Merged blocks (pandas kernel) and bypass blocks (Arrow typed
+        # nulls) must agree on the right int column's type — previously
+        # merged blocks upcast rv to float64 while bypass said int64.
+        from geetiles_ray.stages import joins
+        left, right = self._sides()
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+        out = joins.join_on_identifier_bloom(lds, rds)
+        types = {}
+        for b in out.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                types.setdefault(str(b.schema.field("rv").type), 0)
+                types[str(b.schema.field("rv").type)] += 1
+        assert set(types) == {"int64"}, types
+        # matched values intact, unmatched are nulls (not NaN-float)
+        df = out.to_pandas()
+        hit = df[df.identifier < 120]
+        assert (hit.rv.astype("int64") == hit.identifier * 10).all()
+
     def test_bloom_no_false_negatives(self):
         from geetiles_ray.stages import joins
         import pyarrow as pa

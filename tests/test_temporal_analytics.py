@@ -489,6 +489,22 @@ class TestCMS:
         b = an.cms_counts(_ds(df, 9), "k", query_keys=np.arange(50))
         pd.testing.assert_frame_equal(a, b)
 
+    def test_rows_have_independent_collision_structure(self):
+        # Round-3 advisor: with h_d = h_0 + d*const and power-of-two
+        # width, slot_d(k) - slot_0(k) is the same constant for every
+        # key, so all depth rows collide identically. The key-dependent
+        # multiplier family must NOT have that property.
+        width = 1 << 12
+        mults = an.cms_row_multipliers(4)
+        assert len(set(int(m) for m in mults)) == 4
+        assert all(int(m) % 2 == 1 for m in mults)  # odd → bijective
+        k = np.arange(10000, dtype=np.uint64)
+        slot0 = ((k + np.uint64(1)) * mults[0]) % np.uint64(width)
+        for d in (1, 2, 3):
+            slotd = ((k + np.uint64(1)) * mults[d]) % np.uint64(width)
+            diff = (slotd - slot0) % np.uint64(width)
+            assert len(np.unique(diff)) > 1000  # not a shifted copy
+
 
 class TestPMI:
     def test_matches_brute(self):

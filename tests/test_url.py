@@ -25,6 +25,19 @@ class TestParseUrls:
                                   "site.example", "files.example", "", ""]
         assert list(p.path) == ["/p/42", "/", "/x/y", "", "", "/x"]
 
+    def test_port_and_userinfo_stripped(self):
+        s = pd.Series([
+            "https://example.com:8080/x",
+            "https://user@host.example/y",
+            "https://u:pw@en.site.example:443/z",
+            "http://bad.example:/trailing-colon",
+        ])
+        p = urlmod.parse_urls(s)
+        assert list(p.host) == ["example.com", "host.example",
+                                "en.site.example", "bad.example"]
+        assert list(p.domain) == ["example.com", "host.example",
+                                  "site.example", "bad.example"]
+
     def test_add_url_columns_stage(self):
         df = pd.DataFrame({"url": ["https://a.b.example/p", "x"],
                            "v": [1, 2]})

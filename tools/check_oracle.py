@@ -45,6 +45,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes typed values, so an int64-vs-float64 split
+        # between engine and oracle is a hash FAIL even when every value
+        # matches numerically. Flag dtype-kind divergence loudly.
+        if av.dtype.kind != bv.dtype.kind and {av.dtype.kind, bv.dtype.kind} \
+                <= {"i", "u", "f"}:
+            print(f"  [{name}] DTYPE MISMATCH col={c}: "
+                  f"ray={av.dtype} sql={bv.dtype} (driver hash would fail)")
+            return False
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = ((av.astype(float) - bv.astype(float)).abs() < 1e-12) | \
                  (av.isna() & bv.isna())
