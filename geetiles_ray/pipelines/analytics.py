@@ -196,18 +196,20 @@ from .text import TOKEN_STRIP, tokenize  # noqa: E402 — the LangId tokenizer
 
 
 def top_tokens(ds: ray.data.Dataset, text_col: str = "text", k: int = 50,
-               reduce: str = "driver") -> pd.DataFrame:
+               reduce: str = "range") -> pd.DataFrame:
     """Exact top-``k`` most frequent tokens corpus-wide (tokens = lowercase
     whitespace-split words with edge punctuation stripped — the LangId
     tokenizer, so the SQL twin is shared). Deterministic order:
     (count desc, token asc), 1-based rank.
 
     Plan: per-block value_counts (combiner — ≤ block-vocab rows leave each
-    block) → per-token fold (driver for small vocabs, reduce="shuffle" for
-    a corpus-scale vocabulary) → per-block exact local top-k (each token
-    lives in ONE block post-fold, so local top-k is globally safe) → driver
-    merges ≤ blocks·k rows. The corpus never moves; the vocabulary does,
-    pre-aggregated."""
+    block) → per-token fold (default reduce="range": distributed
+    hash-range fold, the vocabulary never lands on the driver;
+    reduce="driver"/"shuffle" opt-ins for tiny vocabs / groupby parity)
+    → per-block exact local top-k (each token lives in ONE block
+    post-fold, so local top-k is globally safe) → driver merges ≤
+    blocks·k rows. The corpus never moves; the vocabulary does,
+    pre-aggregated and partitioned."""
     def local(df: pd.DataFrame) -> pd.DataFrame:
         vc = tokenize(df[text_col]).value_counts()
         return pd.DataFrame({"token": vc.index.astype(str),
@@ -360,7 +362,7 @@ def running_total(ds: ray.data.Dataset, key: str, order_cols: list[str],
 
 def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
                    text_col: str = "text",
-                   reduce: str = "driver") -> ray.data.Dataset:
+                   reduce: str = "range") -> ray.data.Dataset:
     """Inverted-index statistics: per token → document frequency (distinct
     docs), term frequency (total occurrences) and the posting head (min
     doc id). Tokens are the LangId/top_tokens tokenizer (lowercase,
@@ -396,9 +398,19 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
         return partial.groupby("token").aggregate(
             Sum("__df", alias_name="df"), Sum("__tf", alias_name="tf"),
             Min("__min", alias_name="first_doc"))
+    if reduce == "range":
+        # scale-safe default: distributed hash-range fold — the vocabulary
+        # is partitioned across fold tasks, never concatenated anywhere
+        from .dedup import range_fold_partials
+        out = range_fold_partials(partial, ["token"],
+                                  [("__df", "sum"), ("__tf", "sum"),
+                                   ("__min", "min")])
+        return out.rename_columns({"__df": "df", "__tf": "tf",
+                                   "__min": "first_doc"})
     # driver fold: the data moved is |block vocab| rows per block (Zipf-
     # compressed), and it skips the aggregator-actor startup tax — same
-    # regime call as _finalize_partials (dedup.py:474)
+    # regime call as _finalize_partials (dedup.py:474); only for vocabs
+    # known to fit one process
     frames = [b for b in partial.iter_batches(batch_size=1 << 20,
                                               batch_format="pandas")]
     if not frames:
@@ -616,9 +628,14 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     (both engines re-index identically).
 
     Combiner shape: each block ships its (tok1, tok2) pair counts (vocab²
-    bounded, Zipf-compressed) and the unigram table comes from
-    token_postings — two narrow scans, driver-side fold of
-    dimension-sized partials, no row-level exchange."""
+    bounded, Zipf-compressed) into a distributed hash-range fold
+    (range_fold_partials — the bigram table is partitioned across fold
+    tasks, NEVER concatenated on the driver; at crawl scale it is
+    billions of rows). Each surviving range block then yields a local
+    min_count-filtered top-k — globally safe, every pair lives in exactly
+    one range — and only ≤ ranges·k candidate rows plus the ≤ 2k unigram
+    counts they need ever reach the driver."""
+    from .dedup import range_fold_partials
     from .text import TOKEN_STRIP
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
@@ -626,28 +643,50 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
         rows = toks.index.to_numpy()
         t = toks.to_numpy()
         if len(t) < 2:
-            return pd.DataFrame({"tok1": [], "tok2": [], "__n": []})
+            return pd.DataFrame({"tok1": pd.Series([], dtype=str),
+                                 "tok2": pd.Series([], dtype=str),
+                                 "__n": pd.Series([], dtype="int64")})
         same = rows[1:] == rows[:-1]
         p = pd.DataFrame({"tok1": t[:-1][same], "tok2": t[1:][same]})
         g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
         return g.reset_index().astype({"__n": "int64"})
 
-    frames = [b for b in ds.select_columns([id_col, text_col])
-              .map_batches(local, batch_format="pandas")
-              .iter_batches(batch_size=1 << 20, batch_format="pandas")]
-    if not frames:
+    partial = ds.select_columns([id_col, text_col]) \
+        .map_batches(local, batch_format="pandas")
+    folded = range_fold_partials(partial, ["tok1", "tok2"],
+                                 [("__n", "sum")]).materialize()
+    n_bi = folded.sum("__n") or 0
+    if not n_bi:
         return pd.DataFrame({"tok1": [], "tok2": [], "n_pair": [],
                              "pmi": []})
-    pairs = pd.concat(frames, ignore_index=True) \
-        .groupby(["tok1", "tok2"], sort=False)["__n"].sum().reset_index() \
-        .rename(columns={"__n": "n_pair"})
-    n_bi = int(pairs.n_pair.sum())
 
-    uni = token_postings(ds, id_col, text_col).to_pandas()
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["__n"] >= min_count]
+        return df.sort_values(["__n", "tok1", "tok2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+
+    pairs = folded.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas().rename(columns={"__n": "n_pair"})
+    if pairs.empty:
+        return pd.DataFrame({"tok1": [], "tok2": [], "n_pair": [],
+                             "pmi": []})
+
+    # unigram counts: distributed postings fold; only the ≤2k tokens the
+    # candidate pairs reference are pulled to the driver
+    import pyarrow.compute as pc
+    post = token_postings(ds, id_col, text_col).materialize()
+    n_uni = int(post.sum("tf"))
+    toks_arr = pa.array(sorted(set(pairs.tok1) | set(pairs.tok2)),
+                        type=pa.string())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["token"], value_set=toks_arr))
+
+    uni = post.map_batches(pick, batch_format="pyarrow").to_pandas()
     c_of = dict(zip(uni.token, uni.tf.astype("int64")))
-    n_uni = int(uni.tf.sum())
 
-    pairs = pairs[pairs.n_pair >= min_count].copy()
+    pairs = pairs.copy()
     ca = pairs.tok1.map(c_of).to_numpy(dtype=np.float64)
     cb = pairs.tok2.map(c_of).to_numpy(dtype=np.float64)
     num = pairs.n_pair.to_numpy(dtype=np.float64) * float(n_uni) \

