@@ -364,3 +364,84 @@ def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
         return pa.table(cols)
 
     return ds.map_batches(feats, batch_format="pyarrow")
+
+
+# ------------------------------------------------- benchmark decontamination
+
+def _sliding_ngram_hashes(texts: pd.Series, width: int):
+    """Lowercased whitespace words → SLIDING ``width``-gram 128-bit
+    hashes (unaligned windows, unlike _segment_hashes' aligned chunks —
+    decontamination must catch overlaps at any offset). Same positional
+    polynomial fold and hash families as segment_dedup, so two n-grams
+    hash equal iff their word sequences are equal within 2⁻¹²⁸.
+
+    Returns (g1, g2, rows, totals): per-window hash pair, owning row
+    index, and n-grams-per-row (len-width+1, floored at 0)."""
+    parts = texts.str.lower().str.split(" ")
+    lens = parts.str.len().to_numpy(dtype=np.int64)
+    flat = parts.explode(ignore_index=True)
+    row_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    totals = np.maximum(lens - width + 1, 0).astype(np.int64)
+    nw = len(flat)
+    if nw < width:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e, np.empty(0, dtype=np.int64), totals
+    h1, h2 = _word_hashes(flat)
+    w1 = np.lib.stride_tricks.sliding_window_view(h1, width)
+    w2 = np.lib.stride_tricks.sliding_window_view(h2, width)
+    powv = _POW_BASE ** np.arange(width, dtype=np.uint64)
+    g1 = (w1 * powv[None, :]).sum(axis=1)
+    g2 = (w2 * powv[None, :]).sum(axis=1)
+    valid = row_of[:nw - width + 1] == row_of[width - 1:]
+    return g1[valid], g2[valid], row_of[:nw - width + 1][valid], totals
+
+
+def eval_ngram_set(eval_texts, width: int = 8):
+    """Distinct sliding ``width``-gram hash set of a benchmark eval suite,
+    (h1, h2)-lexsorted for _member128 probes, as a ``ray.put`` broadcast
+    ref. Eval suites are benchmark-sized (thousands of prompts), so
+    building this driver-side is a catalog operation, not a corpus one."""
+    import ray
+    g1, g2, _rows, _tot = _sliding_ngram_hashes(
+        pd.Series(list(eval_texts)), width)
+    if len(g1):
+        order = np.lexsort((g2, g1))
+        g1, g2 = g1[order], g2[order]
+        keep = np.empty(len(g1), dtype=bool)
+        keep[0] = True
+        keep[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+        g1, g2 = g1[keep], g2[keep]
+    return ray.put((g1, g2))
+
+
+def decontaminate(ds: ray.data.Dataset, eval_ref, id_col: str = "doc_id",
+                  text_col: str = "text", width: int = 8,
+                  max_matches: int = 0) -> ray.data.Dataset:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap rule):
+    flag every corpus document sharing at least one (``> max_matches``)
+    sliding ``width``-word n-gram with the broadcast eval set
+    (``eval_ref`` from :func:`eval_ngram_set`).
+
+    ONE map-side pass — the eval n-gram set rides the object store into
+    every task; no exchange, no corpus materialization. Output rows:
+    (id, n_ngrams, n_matched, contaminated). Filtering/removal is the
+    caller's ``.filter`` on ``contaminated`` (keeping the flags table
+    separate preserves the audit trail a curation pipeline needs)."""
+    import ray
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        g1, g2, rows, totals = _sliding_ngram_hashes(texts, width)
+        h1d, h2d = ray.get(eval_ref)
+        found = _member128(h1d, h2d, g1, g2)
+        matched = np.bincount(rows[found], minlength=len(texts)) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_ngrams": pa.array(totals),
+            "n_matched": pa.array(matched),
+            "contaminated": pa.array(matched > max_matches),
+        })
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(stage, batch_format="pyarrow")

@@ -1739,6 +1739,56 @@ def _sql_cluster():
 SQL_KMEANS_CLUSTERS, SQL_ANN_LSH = _sql_cluster()
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (pipelines/lines.py decontaminate — the
+    GPT-3/PaLM n-gram overlap rule): a deterministic 'eval suite' (the
+    first 40 words of every 25th document) is hashed into a broadcast
+    sliding-8-gram set; one map-side pass flags every document sharing an
+    8-gram with it. The SQL twin rebuilds the same n-grams as strings, so
+    the 128-bit hash identities are value-checked end to end."""
+    from . import lines as linesmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    def pick_eval(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 25 == 0))
+
+    ev = docs.map_batches(pick_eval, batch_format="pyarrow").to_pandas()
+    eval_texts = [" ".join(t.split(" ")[:40]) for t in ev.text]
+    ref = linesmod.eval_ngram_set(eval_texts, width=8)
+    out = linesmod.decontaminate(docs, ref, width=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_ngrams": "int64",
+                       "n_matched": "int64", "contaminated": "bool"})
+
+
+SQL_DECONTAMINATE = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), ev AS (
+  SELECT list_slice(ws, 1, 40) AS ews FROM words WHERE doc_id % 25 = 0
+), evi AS (
+  SELECT ews, unnest(range(1, len(ews) - 6)) AS i FROM ev WHERE len(ews) >= 8
+), eval_grams AS (
+  SELECT DISTINCT array_to_string(list_slice(ews, i, i + 7), ' ') AS g
+  FROM evi
+), di AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM words
+  WHERE len(ws) >= 8
+), doc_grams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g FROM di
+), m AS (
+  SELECT doc_id, COUNT(*) AS n_matched
+  FROM doc_grams JOIN eval_grams USING (g) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(GREATEST(len(w.ws) - 7, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+       COALESCE(m.n_matched, 0) > 0 AS contaminated
+FROM words w LEFT JOIN m USING (doc_id) ORDER BY w.doc_id
+"""
+
+
 def q_segment_dedup(sf_dir: str):
     """Corpus-level duplicate-segment removal (pipelines/lines.py, the
     CCNet line-dedup analogue): aligned 3-word windows appearing in ≥ 2
@@ -2965,6 +3015,7 @@ REGISTRY = {
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),

@@ -213,3 +213,53 @@ class TestProperties:
             np.testing.assert_array_equal(got, exp)
 
         prop()
+
+
+class TestDecontaminate:
+    def _corpus(self):
+        eval_texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "pack my box with five dozen liquor jugs right now",
+        ]
+        docs = pd.DataFrame({
+            "doc_id": np.arange(5, dtype="int64"),
+            "text": [
+                # contains eval 8-gram at a NON-aligned offset
+                "prefix words here the quick brown fox jumps over the lazy dog and more",
+                "completely clean document with no overlap at all whatsoever",
+                # case-insensitive match
+                "PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS extra",
+                # 7-word overlap only -> NOT contaminated at width=8
+                "quick brown fox jumps over the lazy cat instead",
+                "short doc",
+            ],
+        })
+        return eval_texts, docs
+
+    def test_flags_match_brute_force(self):
+        eval_texts, docs = self._corpus()
+        ref = lines.eval_ngram_set(eval_texts, width=8)
+        got = lines.decontaminate(
+            ray.data.from_pandas(docs).repartition(3), ref, width=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        def grams(t, w=8):
+            ws = t.lower().split(" ")
+            return [" ".join(ws[i:i + w]) for i in range(len(ws) - w + 1)]
+
+        eset = {g for t in eval_texts for g in grams(t)}
+        for _, row in got.iterrows():
+            t = docs.text[row.doc_id]
+            gs = grams(t)
+            assert row.n_ngrams == len(gs)
+            assert row.n_matched == sum(g in eset for g in gs)
+            assert row.contaminated == (row.n_matched > 0)
+        assert list(got.contaminated) == [True, False, True, False, False]
+
+    def test_empty_eval_set(self):
+        _, docs = self._corpus()
+        ref = lines.eval_ngram_set([], width=8)
+        got = lines.decontaminate(ray.data.from_pandas(docs), ref) \
+            .to_pandas()
+        assert not got.contaminated.any()
+        assert (got.n_matched == 0).all()
