@@ -669,3 +669,95 @@ def upsert(base: ray.data.Dataset, updates: ray.data.Dataset,
     merged = dedup_exact(u, keys, order_col=["__pri"] + orders,
                          nbuckets=nbuckets, keep="last")
     return merged.drop_columns(["__pri"])
+
+
+def upsert_patch(base: ray.data.Dataset, updates: ray.data.Dataset,
+                 key: str | list[str],
+                 order_col: str | list[str] | None = None,
+                 nbuckets: int = 64) -> ray.data.Dataset:
+    """Partial-column patch merge — the operator :func:`upsert` documents
+    as out of its scope: ``updates`` carries the key plus a SUBSET of
+    columns; matched base rows take each patch column's value WHERE IT IS
+    NON-NULL (SQL ``COALESCE(u.c, b.c)`` semantics — a NULL patch cell
+    leaves the base value), unmatched base rows flow through untouched,
+    and update keys absent from base are dropped (pure patch, no insert —
+    that is :func:`upsert`). Patch columns not present in base become new
+    columns (NULL for unpatched rows). Multiple updates per key resolve
+    by greatest ``order_col`` (then update-file order).
+
+    Physical plan: both sides are hash-bucketed on the key and co-located
+    by ONE grouped_apply exchange; the per-bucket kernel is a vectorized
+    pandas latest-per-key + left-merge + combine_first. Output blocks are
+    normalized to one explicit Arrow schema (int/bool columns nullable)
+    so patched and pass-through blocks never diverge."""
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [] if order_col is None else (
+        [order_col] if isinstance(order_col, str) else list(order_col))
+
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes / python classes here
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string() if t in (object, str) else pa.null()
+
+    base_names = list(base.schema().names)
+    base_types = {n: _pa_type(t) for n, t in
+                  zip(base.schema().names, base.schema().types)}
+    upd_names = list(updates.schema().names)
+    upd_types = {n: _pa_type(t) for n, t in
+                 zip(updates.schema().names, updates.schema().types)}
+    patch_cols = [c for c in upd_names if c not in keys and c not in orders]
+    new_cols = [c for c in patch_cols if c not in base_types]
+    out_names = base_names + new_cols
+    target = pa.schema([(n, base_types.get(n) or upd_types[n])
+                        for n in out_names])
+
+    def tag(side: int, carry: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            df = batch.select(carry).to_pandas()
+            h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            out = {c: batch[c] for c in carry}
+            # pad to the union schema with typed nulls
+            for c in out_names + orders:
+                if c not in carry:
+                    t = base_types.get(c) or upd_types.get(c)
+                    out[c] = pa.nulls(len(batch), t)
+            out["__bucket"] = pa.array(
+                (h % np.uint64(nbuckets)).astype(np.int64))
+            out["__side"] = pa.array(
+                np.full(len(batch), side, dtype=np.int8))
+            return pa.table({c: out[c] for c in out_names + orders
+                             + ["__bucket", "__side"]})
+        return f
+
+    b_tagged = base.map_batches(tag(0, base_names), batch_format="pyarrow")
+    u_tagged = updates.map_batches(tag(1, upd_names),
+                                   batch_format="pyarrow")
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["__side"] == 0][out_names]
+        if not len(b):
+            return pd.DataFrame(columns=out_names)
+        u = g[g["__side"] == 1][keys + orders + patch_cols]
+        if not len(u):
+            return b
+        if orders:
+            u = u.sort_values(keys + orders, kind="mergesort")
+        u = u.drop_duplicates(subset=keys, keep="last")[keys + patch_cols]
+        m = b.merge(u, on=keys, how="left", suffixes=("", "__u"))
+        for c in patch_cols:
+            m[c] = m[c + "__u"].combine_first(m[c])
+        return m[out_names]
+
+    from ..stages.temporal import grouped_apply
+    out = grouped_apply(b_tagged.union(u_tagged), kern, nbuckets)
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df[out_names], schema=target,
+                                    preserve_index=False)
+
+    return out.map_batches(to_arrow, batch_format="pandas",
+                           zero_copy_batch=True)

@@ -2388,6 +2388,77 @@ SELECT doc_id, domain FROM ranked WHERE r <= 20 ORDER BY doc_id
 """
 
 
+def q_video_features(sf_dir: str):
+    """Video multimodal plumbing, oracle-checked end to end: document text
+    bytes stand in for a video container; DecodeVideo 'demuxes' it into
+    max(len//64, 1) frames, samples every 2nd, and decodes each via the
+    image-fake rule with per-frame seed sha_seed XOR ((f+1)·MIX) — all
+    HUGEINT-SQL-expressible (stages/multimodal.py:_decode_video_fake).
+    Frames then flow through the UNCHANGED ImageFeatures stage (the
+    compose-with-image-pipeline contract), reduced to exact per-channel
+    integer sums."""
+    from ..stages import multimodal as mmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array([t.encode("utf-8")
+                                 for t in batch["text"].to_pylist()],
+                                type=pa.binary()),
+        })
+
+    blobs = docs.map_batches(to_blob, batch_format="pyarrow")
+    frames = mmod.decode_video(blobs, hw=(8, 8), frame_bytes=64, every_n=2)
+    feats = mmod.image_features(frames).to_pandas()
+    rows = []
+    for _, r in feats.iterrows():
+        for c in range(3):
+            rows.append((r.doc_id, int(r.frame_idx), int(r.n_frames), c,
+                         int(r.chan_sum[c]), int(r.chan_sumsq[c])))
+    out = pd.DataFrame(rows, columns=["doc_id", "frame_idx", "n_frames",
+                                      "chan", "chan_sum", "chan_sumsq"])
+    return out.sort_values(["doc_id", "frame_idx", "chan"]) \
+        .reset_index(drop=True) \
+        .astype({"doc_id": "int64", "frame_idx": "int64",
+                 "n_frames": "int64", "chan": "int64",
+                 "chan_sum": "int64", "chan_sumsq": "int64"})
+
+
+SQL_VIDEO_FEATURES = f"""
+WITH seeds AS (
+  SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS seed,
+         GREATEST(octet_length(CAST(text AS BLOB)) // 64, 1) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, seed, n_frames,
+         unnest(range(0, n_frames, 2)) AS f
+  FROM seeds
+), fseeds AS (
+  SELECT doc_id, n_frames, f,
+         xor(seed, CAST(((f + 1)::HUGEINT * {0x9E3779B97F4A7C15}::HUGEINT)
+             % 18446744073709551616::HUGEINT AS UBIGINT)) AS fs
+  FROM frames
+), px AS (
+  SELECT doc_id, n_frames, f, fs, unnest(range(1, 8*8*3 + 1)) AS i
+  FROM fseeds
+), vals AS (
+  SELECT doc_id, n_frames, f, CAST((i - 1) % 3 AS INT) AS chan,
+         CAST((fs::HUGEINT * i) % 18446744073709551616::HUGEINT
+              // 72057594037927936::HUGEINT AS BIGINT) AS v
+  FROM px
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames, CAST(chan AS BIGINT) AS chan,
+       CAST(SUM(v) AS BIGINT) AS chan_sum,
+       CAST(SUM(v * v) AS BIGINT) AS chan_sumsq
+FROM vals GROUP BY doc_id, f, n_frames, chan
+ORDER BY doc_id, frame_idx, chan
+"""
+
+
 def q_audio_features(sf_dir: str):
     """Audio multimodal plumbing, oracle-checked end to end (the audio
     twin of image_features): document text bytes stand in for an audio
@@ -2873,6 +2944,66 @@ ORDER BY o_orderkey
 """
 
 
+def q_patch_orders(sf_dir: str):
+    """Partial-column patch upsert (dedup.upsert_patch — COALESCE
+    semantics): updates carry ONLY (key, new price); every 7th order is
+    repriced +11 cents EXCEPT every 49th, whose patch value is NULL and
+    must therefore keep the base price; a new 'src' column rides along
+    (NULL on unpatched rows). The SQL twin is the textbook LEFT JOIN +
+    COALESCE."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["o_totalprice"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "cents": pa.array(c)})
+
+    base = orders.map_batches(cents, batch_format="pyarrow")
+
+    def patch(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        t = batch.filter(pa.array(k % 7 == 0))
+        kk = t["o_orderkey"].to_numpy()
+        c = t["cents"].to_numpy() + 11
+        vals = pa.array([None if key % 49 == 0 else int(v)
+                         for key, v in zip(kk, c)], type=pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "cents": vals,
+                         "src": pa.array(["recrawl"] * len(t),
+                                         type=pa.string())})
+
+    updates = base.map_batches(patch, batch_format="pyarrow")
+    out = dedupmod.upsert_patch(base, updates, key="o_orderkey") \
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    out["src"] = out["src"].fillna("")
+    return out[["o_orderkey", "o_custkey", "cents", "src"]] \
+        .astype({"cents": "int64", "src": "str"})
+
+
+SQL_PATCH_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), updates AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 49 = 0 THEN NULL ELSE cents + 11 END
+           AS p_cents,
+         'recrawl' AS src
+  FROM base WHERE o_orderkey % 7 = 0
+)
+SELECT b.o_orderkey, b.o_custkey,
+       CAST(COALESCE(u.p_cents, b.cents) AS BIGINT) AS cents,
+       COALESCE(u.src, '') AS src
+FROM base b LEFT JOIN updates u USING (o_orderkey)
+ORDER BY b.o_orderkey
+"""
+
+
 def q_json_props(sf_dir: str):
     """JSON column extraction (§2.8 json scalar family — the typed twin of
     the reference's dict-column expansion): parse events.props, pull the
@@ -3029,6 +3160,7 @@ REGISTRY = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
     "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
     "hll_users": (q_hll_users, SQL_HLL_USERS),
     "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
@@ -3037,6 +3169,7 @@ REGISTRY = {
     "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
     "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
     "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
+    "patch_orders": (q_patch_orders, SQL_PATCH_ORDERS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
 }

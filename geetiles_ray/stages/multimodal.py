@@ -258,3 +258,111 @@ def audio_features(ds: ray.data.Dataset, concurrency: int | tuple = 2,
                    batch_size: int = 64) -> ray.data.Dataset:
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+try:  # pragma: no cover - not present in this container
+    import av  # noqa: F401
+    _HAVE_AV = True
+except ImportError:
+    _HAVE_AV = False
+
+_VMIX = np.uint64(0x9E3779B97F4A7C15)  # frame-seed mixer (splitmix gamma)
+
+
+def _decode_video_real(blob: bytes, hw=(8, 8), every_n: int = 2):
+    """PyAV demux+decode → every Nth frame as an RGB (h, w, 3) uint8 array.
+    Only reachable when ``av`` imports (``_HAVE_AV``)."""
+    import io
+
+    import av as _av
+    out = []
+    with _av.open(io.BytesIO(blob)) as container:
+        for f, frame in enumerate(container.decode(video=0)):
+            if f % every_n:
+                continue
+            img = frame.to_image().convert("RGB").resize((hw[1], hw[0]))
+            out.append((f, np.asarray(img, dtype=np.uint8)))
+    return out
+
+
+def _decode_video_fake(blob: bytes, hw=(8, 8), frame_bytes: int = 64,
+                       every_n: int = 2):
+    """Deterministic container stand-in: the blob 'demuxes' into
+    ``max(len(blob)//frame_bytes, 1)`` frames; frame f's pixels follow the
+    image-fake rule with a per-frame seed ``sha_seed XOR ((f+1)·MIX)`` —
+    every step (sha256 head, xor, multiply-shift) is HUGEINT-SQL
+    expressible, so the stubbed video path carries a value-hash oracle
+    exactly like the image/audio fakes."""
+    h, w = hw
+    need = h * w * 3
+    n_frames = max(len(blob) // frame_bytes, 1)
+    seed = np.uint64(int.from_bytes(hashlib.sha256(blob).digest()[:8], "big"))
+    i = np.arange(1, need + 1, dtype=np.uint64)
+    out = []
+    for f in range(0, n_frames, every_n):
+        fs = seed ^ (np.uint64(f + 1) * _VMIX)
+        out.append((f, ((fs * i) >> np.uint64(56))
+                    .astype(np.uint8).reshape(h, w, 3)))
+    return out, n_frames
+
+
+class DecodeVideo:
+    """binary video-container column → one row per SAMPLED frame with the
+    SAME frame schema DecodeImages emits (pixels/height/width/channels/
+    decoder, plus frame_idx and the container's n_frames) — so
+    ImageFeatures and every downstream image stage compose unchanged.
+
+    Real path requires PyAV (raises NotImplementedError if requested
+    without it); fake path is deterministic and marks rows decoder='fake'.
+    Same 64-row binary batch discipline as the other decoders; the output
+    fan-out is frames-per-container × rows."""
+
+    def __init__(self, blob_col: str = "payload", id_col: str = "doc_id",
+                 hw=(8, 8), frame_bytes: int = 64, every_n: int = 2,
+                 require_real: bool = False):
+        if require_real and not _HAVE_AV:
+            raise NotImplementedError(
+                "real video decode needs PyAV, which is not installed; "
+                "run with require_real=False for the deterministic stub")
+        self.blob_col, self.id_col, self.hw = blob_col, id_col, hw
+        self.frame_bytes, self.every_n = frame_bytes, every_n
+        self.real = _HAVE_AV and require_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_f, out_n, out_px = [], [], [], []
+        for ident, blob in zip(ids, batch[self.blob_col].to_pylist()):
+            if self.real:
+                frames = _decode_video_real(blob, self.hw, self.every_n)
+                n_frames = len(frames)
+            else:
+                frames, n_frames = _decode_video_fake(
+                    blob, self.hw, self.frame_bytes, self.every_n)
+            for f, arr in frames:
+                out_id.append(ident)
+                out_f.append(f)
+                out_n.append(n_frames)
+                out_px.append(arr.tobytes())
+        n = len(out_id)
+        return pa.table({
+            self.id_col: pa.array(out_id),
+            "frame_idx": pa.array(out_f, type=pa.int32()),
+            "n_frames": pa.array(out_n, type=pa.int32()),
+            "pixels": pa.array(out_px, type=pa.binary()),
+            "height": pa.array([self.hw[0]] * n, type=pa.int32()),
+            "width": pa.array([self.hw[1]] * n, type=pa.int32()),
+            "channels": pa.array([3] * n, type=pa.int32()),
+            "decoder": pa.array(["real" if self.real else "fake"] * n),
+        })
+
+
+def decode_video(ds: ray.data.Dataset, blob_col: str = "payload",
+                 id_col: str = "doc_id", hw=(8, 8), frame_bytes: int = 64,
+                 every_n: int = 2, concurrency: int | tuple = 2,
+                 batch_size: int = 64) -> ray.data.Dataset:
+    return ds.map_batches(DecodeVideo,
+                          fn_constructor_kwargs=dict(
+                              blob_col=blob_col, id_col=id_col, hw=hw,
+                              frame_bytes=frame_bytes, every_n=every_n),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -256,3 +256,61 @@ class TestUpsert:
         got = upsert(ray.data.from_pandas(base), ray.data.from_pandas(upd),
                      key="k", order_col="ts").to_pandas()
         assert got.v.tolist() == [90]  # greatest ts among updates wins
+
+
+class TestUpsertPatch:
+    def _sides(self):
+        base = pd.DataFrame({
+            "k": np.arange(10, dtype="int64"),
+            "price": np.arange(10, dtype="int64") * 100,
+            "name": [f"n{i}" for i in range(10)],
+        })
+        upd = pd.DataFrame({
+            "k": np.array([2, 2, 5, 7, 99], dtype="int64"),
+            "ver": np.array([1, 2, 1, 1, 1], dtype="int64"),
+            # k=2 has two updates (ver 2 wins); k=7 patches with NULL
+            # (must keep base); k=99 doesn't exist in base (dropped)
+            "price": pd.array([111, 222, 555, None, 999], dtype="Int64"),
+            "tag": ["a", "b", "c", "d", "e"],  # new column
+        })
+        return base, upd
+
+    def test_coalesce_semantics(self):
+        from geetiles_ray.pipelines import dedup as dd
+        base, upd = self._sides()
+        upd_ds = ray.data.from_arrow(
+            pa.Table.from_pandas(upd, preserve_index=False))
+        out = dd.upsert_patch(ray.data.from_pandas(base).repartition(3),
+                              upd_ds,
+                              key="k", order_col="ver").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert len(out) == 10                     # no inserts, no drops
+        assert list(out.columns) == ["k", "price", "name", "tag"]
+        got = dict(zip(out.k, out.price))
+        assert got[2] == 222                      # latest update wins
+        assert got[5] == 555
+        assert got[7] == 700                      # NULL patch keeps base
+        assert got[0] == 0 and got[9] == 900      # untouched rows
+        tags = dict(zip(out.k, out.tag))
+        assert tags[2] == "b" and tags[5] == "c"
+        assert pd.isna(tags[0])                   # new col null elsewhere
+        # one consistent arrow schema across blocks
+        types = {str(b.schema.field("price").type)
+                 for b in dd.upsert_patch(
+                     ray.data.from_pandas(base).repartition(3),
+                     upd_ds, key="k",
+                     order_col="ver").iter_batches(batch_format="pyarrow")
+                 if len(b)}
+        assert types == {"int64"}
+
+    def test_no_updates_is_identity(self):
+        from geetiles_ray.pipelines import dedup as dd
+        base, upd = self._sides()
+        out = dd.upsert_patch(
+            ray.data.from_pandas(base),
+            ray.data.from_arrow(pa.Table.from_pandas(
+                upd.iloc[:0], preserve_index=False)),
+            key="k").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert (out.price == base.price).all()
+        assert out.tag.isna().all()

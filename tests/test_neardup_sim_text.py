@@ -414,3 +414,61 @@ class TestUnigramScore:
         assert got.mean_logprob[2] == 0.0
         # rarer tokens score lower
         assert got.mean_logprob[1] < got.mean_logprob[0]
+
+
+class TestVideo:
+    def test_fake_demux_frame_count_and_sampling(self):
+        blob = b"x" * 300  # 300 // 64 = 4 frames; every 2nd -> 0, 2
+        frames, n_frames = multimodal._decode_video_fake(
+            blob, hw=(8, 8), frame_bytes=64, every_n=2)
+        assert n_frames == 4
+        assert [f for f, _ in frames] == [0, 2]
+        for _, arr in frames:
+            assert arr.shape == (8, 8, 3) and arr.dtype == np.uint8
+        # tiny blob still yields one frame
+        frames1, n1 = multimodal._decode_video_fake(b"z", frame_bytes=64)
+        assert n1 == 1 and [f for f, _ in frames1] == [0]
+        # per-frame seeds differ -> frames differ
+        assert frames[0][1].tobytes() != frames[1][1].tobytes()
+
+    def test_stage_composes_with_image_features(self):
+        rows = [{"doc_id": i, "payload": bytes([i]) * (100 + 80 * i)}
+                for i in range(6)]
+        ds = ray.data.from_items(rows)
+        frames = multimodal.decode_video(ds, hw=(8, 8), frame_bytes=64,
+                                         every_n=2)
+        feats = multimodal.image_features(frames).to_pandas()
+        assert {"doc_id", "frame_idx", "n_frames", "chan_sum"} \
+            <= set(feats.columns)
+        exp_frames = sum(len(range(0, max((100 + 80 * i) // 64, 1), 2))
+                         for i in range(6))
+        assert len(feats) == exp_frames
+        assert (feats.decoder == "fake").all()
+        # deterministic across runs
+        again = multimodal.image_features(
+            multimodal.decode_video(ds, hw=(8, 8), frame_bytes=64,
+                                    every_n=2)).to_pandas()
+        a = feats.sort_values(["doc_id", "frame_idx"]).pixels.values
+        b = again.sort_values(["doc_id", "frame_idx"]).pixels.values
+        assert (a == b).all()
+
+    def test_require_real_raises_without_codec(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.DecodeVideo(require_real=True)
+
+    def test_real_dispatch_with_monkeypatched_codec(self, monkeypatch):
+        calls = []
+
+        def fake_real(blob, hw, every_n):
+            calls.append(blob)
+            return [(0, np.full((hw[0], hw[1], 3), 3, dtype=np.uint8))]
+
+        monkeypatch.setattr(multimodal, "_HAVE_AV", True)
+        monkeypatch.setattr(multimodal, "_decode_video_real", fake_real)
+        dec = multimodal.DecodeVideo(require_real=True, hw=(4, 4))
+        out = dec(pa.table({"doc_id": pa.array([1, 2]),
+                            "payload": pa.array([b"a", b"b"],
+                                                type=pa.binary())}))
+        assert len(calls) == 2
+        assert out["decoder"].to_pylist() == ["real", "real"]
+        assert out["n_frames"].to_pylist() == [1, 1]
