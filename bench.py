@@ -47,7 +47,10 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "host_cap", "events_outliers", "hll_users", "cms_events",
                  "unigram_logprob", "pmi_pairs", "pagerank_docs",
                  "tile_top_tokens", "upsert_orders", "json_props",
-                 "event_sessions"]
+                 "event_sessions",
+                 # round-4 operators
+                 "decontaminate", "video_features", "patch_orders",
+                 "normalize_text"]
 
 
 def host_probe() -> dict:

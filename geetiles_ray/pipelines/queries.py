@@ -1739,6 +1739,73 @@ def _sql_cluster():
 SQL_KMEANS_CLUSTERS, SQL_ANN_LSH = _sql_cluster()
 
 
+def q_normalize_text(sf_dir: str):
+    """Text normalization (pipelines/text.py normalize_text — the CCNet
+    cleanup pass): NFC → strip accents → lowercase → collapse whitespace
+    → trim. Documents are deterministically 'dirtied' first (accents on
+    every 3rd, uppercased every 4th, triple-spaced every 5th, tab+trailing
+    junk every 7th) so the oracle genuinely exercises every rule; the SQL
+    twin replays the dirtying and normalizes with DuckDB's own
+    nfc_normalize/strip_accents."""
+    from . import text as textmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        out = []
+        for i, t in zip(d, batch["text"].to_pylist()):
+            if i % 3 == 0:
+                t = t.replace("a", "á")
+            if i % 4 == 0:
+                t = t.upper()
+            if i % 5 == 0:
+                t = t.replace(" ", "   ")
+            if i % 7 == 0:
+                t = t + "\t trailing  "
+            out.append(t)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    dirtied = docs.map_batches(dirty, batch_format="pyarrow")
+    out = textmod.normalize_text(dirtied).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "text_norm", "n_chars_norm", "n_tokens_norm"]] \
+        .astype({"n_chars_norm": "int64", "n_tokens_norm": "int64"})
+
+
+SQL_NORMALIZE_TEXT = """
+WITH t1 AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                      THEN replace(text, 'a', 'á') ELSE text END AS t
+  FROM documents
+), t2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN upper(t) ELSE t END AS t
+  FROM t1
+), t3 AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                      THEN replace(t, ' ', '   ') ELSE t END AS t
+  FROM t2
+), t4 AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                      THEN t || chr(9) || ' trailing  ' ELSE t END AS t
+  FROM t3
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(strip_accents(nfc_normalize(t))),
+                             '\\s+', ' ', 'g')) AS text_norm
+  FROM t4
+)
+SELECT doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       CAST(CASE WHEN text_norm = '' THEN 0
+                 ELSE len(string_split(text_norm, ' ')) END AS BIGINT)
+         AS n_tokens_norm
+FROM norm ORDER BY doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (pipelines/lines.py decontaminate — the
     GPT-3/PaLM n-gram overlap rule): a deterministic 'eval suite' (the
@@ -3147,6 +3214,7 @@ REGISTRY = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),

@@ -212,3 +212,42 @@ def unigram_logprob(ds: ray.data.Dataset, id_col: str = "doc_id",
         fn_constructor_kwargs=dict(probs_ref=ref, total_tokens=total,
                                    text_col=text_col),
         batch_format="pandas", concurrency=concurrency)
+
+
+# --------------------------------------------------- text normalization
+
+# Unicode combining-mark block (diacritics) removed after NFD split —
+# mirrors DuckDB's strip_accents for Latin-script text; the SQL twin
+# replays lower(strip_accents(nfc_normalize(x))) + whitespace collapse.
+_COMBINING_RE = r"[̀-ͯ]"
+_WS_RE = r"\s+"
+
+
+def normalize_series(texts: pd.Series) -> pd.Series:
+    """NFC-normalize → strip accents (NFD + drop combining marks) →
+    lowercase → collapse runs of whitespace to one space → trim. All
+    vectorized pandas .str ops (the accent strip is one compiled regex
+    over the NFD form, not per-char Python)."""
+    s = texts.str.normalize("NFC")
+    s = s.str.normalize("NFD").str.replace(_COMBINING_RE, "", regex=True)
+    return s.str.lower().str.replace(_WS_RE, " ", regex=True).str.strip()
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
+                   out_col: str = "text_norm") -> ray.data.Dataset:
+    """Curation-standard text normalization stage (the cleanup pass that
+    precedes tokenization/dedup in CCNet-style pipelines): appends
+    ``out_col`` plus its char/token counts. Pure map — no exchange."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = normalize_series(batch[text_col].to_pandas())
+        cols = {c: batch[c] for c in batch.column_names}
+        cols[out_col] = pa.array(norm.to_numpy(dtype=object),
+                                 type=pa.string())
+        cols["n_chars_norm"] = pa.array(
+            norm.str.len().to_numpy(dtype="int64"))
+        nt = norm.str.split(" ").str.len().where(norm != "", 0)
+        cols["n_tokens_norm"] = pa.array(nt.to_numpy(dtype="int64"))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -472,3 +472,31 @@ class TestVideo:
         assert len(calls) == 2
         assert out["decoder"].to_pylist() == ["real", "real"]
         assert out["n_frames"].to_pylist() == [1, 1]
+
+
+class TestNormalizeText:
+    def test_rules(self):
+        from geetiles_ray.pipelines.text import normalize_series
+        s = pd.Series([
+            "  Árvíztűrő   Tükörfúrógép  ",
+            "plain ascii words",
+            "tabs\tand\nnewlines",
+            "",
+            "ñandú écolé",
+        ])
+        out = normalize_series(s)
+        assert out[0] == "arvizturo tukorfurogep"
+        assert out[1] == "plain ascii words"
+        assert out[2] == "tabs and newlines"
+        assert out[3] == ""
+        assert out[4] == "nandu ecole"
+
+    def test_stage_counts(self):
+        from geetiles_ray.pipelines import text as textmod
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["A  B   C", ""]})
+        out = textmod.normalize_text(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("doc_id")
+        assert list(out.text_norm) == ["a b c", ""]
+        assert list(out.n_chars_norm) == [5, 0]
+        assert list(out.n_tokens_norm) == [3, 0]
