@@ -401,12 +401,13 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
     if reduce == "range":
         # scale-safe default: distributed hash-range fold — the vocabulary
         # is partitioned across fold tasks, never concatenated anywhere
+        # (final names set INSIDE the fold: a chained rename_columns would
+        # skip empty ranges and split the schema)
         from .dedup import range_fold_partials
-        out = range_fold_partials(partial, ["token"],
-                                  [("__df", "sum"), ("__tf", "sum"),
-                                   ("__min", "min")])
-        return out.rename_columns({"__df": "df", "__tf": "tf",
-                                   "__min": "first_doc"})
+        return range_fold_partials(
+            partial, ["token"],
+            [("__df", "sum"), ("__tf", "sum"), ("__min", "min")],
+            out_names=["token", "df", "tf", "first_doc"])
     # driver fold: the data moved is |block vocab| rows per block (Zipf-
     # compressed), and it skips the aggregator-actor startup tax — same
     # regime call as _finalize_partials (dedup.py:474); only for vocabs

@@ -480,7 +480,8 @@ def dedup_exact_broadcast(
 def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
                         aggs: list[tuple[str, str]],
                         nranges: int | None = None,
-                        range_by: list[str] | None = None
+                        range_by: list[str] | None = None,
+                        out_names: list[str] | None = None
                         ) -> ray.data.Dataset:
     """Distributed fold of per-block partial aggregates WITHOUT an
     all-to-all exchange or a driver concat: hash-range split each partial
@@ -505,15 +506,34 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     e.g. group_cols=[tile, token], range_by=[tile], ALL of a tile's
     tokens land in one range, so a per-range per-tile top-k is the final
     answer, not a candidate set. Pick a high-cardinality prefix — a
-    skewed range_by key skews the fold tasks."""
+    skewed range_by key skews the fold tasks.
+
+    ``out_names``: optional FINAL column names (positional, for
+    ``group_cols + vcols``), applied inside each fold task. Do NOT chain
+    ``Dataset.rename_columns`` after this function: Ray's rename skips
+    zero-row bundles, so empty ranges would keep the old names and split
+    the dataset's schema (round-4 review)."""
     import ray
+
+    from ..functions.arrowio import dataset_arrow_schema
 
     vcols = [c for c, _ in aggs]
     out_cols = list(group_cols) + vcols
     route_cols = list(range_by) if range_by else list(group_cols)
-    refs = partial.materialize().get_internal_block_refs()
+    final_names = list(out_names) if out_names else out_cols
+    mat = partial.materialize()
+    refs = mat.get_internal_block_refs()
     if not refs:
-        return partial.select_columns(out_cols)
+        empty = partial.select_columns(out_cols)
+        if out_names:
+            empty = empty.rename_columns(dict(zip(out_cols, final_names)))
+        return empty
+    # ONE explicit Arrow schema for every slice and fold output: an empty
+    # hash range's pandas slice would otherwise infer null-typed columns
+    # and break schema unification downstream (round-4 review finding —
+    # guaranteed to happen when |distinct keys| < nranges, e.g. a small
+    # vocabulary on a many-core host)
+    target = dataset_arrow_schema(mat, out_cols)
     if nranges is None:
         ncores = int(ray.cluster_resources().get("CPU", 8))
         nranges = max(4, min(64, ncores))
@@ -535,7 +555,8 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
         # .slice-free copies: ship each slice as its own object so fold
         # task r pulls ONLY range r, never the whole block
         return tuple(pa.Table.from_pandas(
-            df.iloc[bounds[i]:bounds[i + 1]], preserve_index=False)
+            df.iloc[bounds[i]:bounds[i + 1]], schema=target,
+            preserve_index=False)
             for i in range(nranges))
 
     srefs = [split_block.options(num_returns=nranges).remote(r)
@@ -545,11 +566,12 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     def fold_range(*slices):
         dfs = [s.to_pandas() for s in slices if s.num_rows]
         if not dfs:
-            return slices[0].select(out_cols)
+            return slices[0].select(out_cols).rename_columns(final_names)
         df = pd.concat(dfs, ignore_index=True)
         g = df.groupby(group_cols, as_index=False, sort=False).agg(agg_spec)
-        return pa.Table.from_pandas(g[out_cols], preserve_index=False) \
-            .replace_schema_metadata(None)
+        return pa.Table.from_pandas(g[out_cols], schema=target,
+                                    preserve_index=False) \
+            .replace_schema_metadata(None).rename_columns(final_names)
 
     outs = [fold_range.remote(*[srefs[b][r] for b in range(len(refs))])
             for r in range(nranges)]
@@ -580,8 +602,9 @@ def _finalize_partials(
     if reduce == "shuffle":
         return partial.groupby(group_cols).aggregate(Sum("__partial", alias_name=alias))
     if reduce == "range":
-        out = range_fold_partials(partial, group_cols, [("__partial", "sum")])
-        return out.rename_columns({"__partial": alias})
+        return range_fold_partials(partial, group_cols,
+                                   [("__partial", "sum")],
+                                   out_names=group_cols + [alias])
 
     acc: list[pd.DataFrame] = []
     merged = None
@@ -694,14 +717,7 @@ def upsert_patch(base: ray.data.Dataset, updates: ray.data.Dataset,
     orders = [] if order_col is None else (
         [order_col] if isinstance(order_col, str) else list(order_col))
 
-    def _pa_type(t):
-        # pandas-block datasets report numpy dtypes / python classes here
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(t)
-        except (TypeError, pa.ArrowNotImplementedError):
-            return pa.string() if t in (object, str) else pa.null()
+    from ..functions.arrowio import pa_type as _pa_type
 
     base_names = list(base.schema().names)
     base_types = {n: _pa_type(t) for n, t in
@@ -752,12 +768,8 @@ def upsert_patch(base: ray.data.Dataset, updates: ray.data.Dataset,
             m[c] = m[c + "__u"].combine_first(m[c])
         return m[out_names]
 
+    from ..functions.arrowio import pandas_to_arrow_normalizer
     from ..stages.temporal import grouped_apply
     out = grouped_apply(b_tagged.union(u_tagged), kern, nbuckets)
-
-    def to_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df[out_names], schema=target,
-                                    preserve_index=False)
-
-    return out.map_batches(to_arrow, batch_format="pandas",
-                           zero_copy_batch=True)
+    return out.map_batches(pandas_to_arrow_normalizer(target),
+                           batch_format="pandas", zero_copy_batch=True)

@@ -101,9 +101,16 @@ def q_knn_pages(sf_dir: str):
     """3-NN among document points for the 10 lowest doc_ids (kNN operator
     J-graft): output (query_id, neighbor_id, rank) rows."""
     ds = _docs_with_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
-    # doc_ids are dense from 0, so the 10 lowest are a filter, not a
-    # global sort + limit (round-3 verdict: sort-to-take-10 is wasteful)
-    qdf = ds.filter(expr="doc_id < 10").to_pandas().sort_values("doc_id")
+    # the 10 lowest doc_ids via min + filter (no global sort — round-3
+    # verdict); doc_ids are dense from 0 here, but fall back to the exact
+    # sort+limit if a sparse id space ever yields fewer than 10 (the SQL
+    # twin is ORDER BY doc_id LIMIT 10 and must stay matched)
+    lo = ds.min("doc_id")
+    qdf = ds.filter(expr=f"doc_id < {int(lo) + 10}").to_pandas() \
+        .sort_values("doc_id")
+    if len(qdf) < 10:
+        qdf = ds.sort("doc_id").limit(10).to_pandas()
+    qdf = qdf.head(10)
     qid = qdf.doc_id.to_numpy()
     qlon = qdf.lon.to_numpy()
     qlat = qdf.lat.to_numpy()

@@ -461,15 +461,12 @@ def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
     # mixed block types break cross-block batching downstream. Convert
     # the merged path to Arrow under ONE explicit schema (an all-null
     # batch would otherwise infer pa.null and diverge from the bypass).
+    from ..functions.arrowio import pandas_to_arrow_normalizer
     l_schema = dict(zip(left.schema().names, left.schema().types))
     target = pa.schema([(n, l_schema.get(n) or r_schema[n])
                         for n in out_names])
-
-    def to_arrow(df) -> pa.Table:
-        return pa.Table.from_pandas(df[out_names], schema=target,
-                                    preserve_index=False)
-
-    joined = joined.map_batches(to_arrow, batch_format="pandas",
+    joined = joined.map_batches(pandas_to_arrow_normalizer(target),
+                                batch_format="pandas",
                                 zero_copy_batch=True)
     bypass = never.map_batches(pad_right, batch_format="pyarrow") \
         .select_columns(out_names)

@@ -270,19 +270,23 @@ _VMIX = np.uint64(0x9E3779B97F4A7C15)  # frame-seed mixer (splitmix gamma)
 
 
 def _decode_video_real(blob: bytes, hw=(8, 8), every_n: int = 2):
-    """PyAV demux+decode → every Nth frame as an RGB (h, w, 3) uint8 array.
-    Only reachable when ``av`` imports (``_HAVE_AV``)."""
+    """PyAV demux+decode → (sampled frames, container total): every Nth
+    frame as an RGB (h, w, 3) uint8 array, plus the TOTAL frame count
+    (the decode loop sees every frame anyway) — same return contract as
+    the fake. Only reachable when ``av`` imports (``_HAVE_AV``)."""
     import io
 
     import av as _av
     out = []
+    n_frames = 0
     with _av.open(io.BytesIO(blob)) as container:
         for f, frame in enumerate(container.decode(video=0)):
+            n_frames = f + 1
             if f % every_n:
                 continue
             img = frame.to_image().convert("RGB").resize((hw[1], hw[0]))
             out.append((f, np.asarray(img, dtype=np.uint8)))
-    return out
+    return out, n_frames
 
 
 def _decode_video_fake(blob: bytes, hw=(8, 8), frame_bytes: int = 64,
@@ -298,10 +302,13 @@ def _decode_video_fake(blob: bytes, hw=(8, 8), frame_bytes: int = 64,
     n_frames = max(len(blob) // frame_bytes, 1)
     seed = np.uint64(int.from_bytes(hashlib.sha256(blob).digest()[:8], "big"))
     i = np.arange(1, need + 1, dtype=np.uint64)
+    # array ops (not numpy scalars): uint64 wraparound is the point, and
+    # scalar ops emit a RuntimeWarning per intended overflow
+    f_arr = np.arange(0, n_frames, every_n, dtype=np.uint64)
+    fs_arr = seed ^ ((f_arr + np.uint64(1)) * _VMIX)
     out = []
-    for f in range(0, n_frames, every_n):
-        fs = seed ^ (np.uint64(f + 1) * _VMIX)
-        out.append((f, ((fs * i) >> np.uint64(56))
+    for f, fs in zip(f_arr, fs_arr):
+        out.append((int(f), ((fs * i) >> np.uint64(56))
                     .astype(np.uint8).reshape(h, w, 3)))
     return out, n_frames
 
@@ -333,8 +340,8 @@ class DecodeVideo:
         out_id, out_f, out_n, out_px = [], [], [], []
         for ident, blob in zip(ids, batch[self.blob_col].to_pylist()):
             if self.real:
-                frames = _decode_video_real(blob, self.hw, self.every_n)
-                n_frames = len(frames)
+                frames, n_frames = _decode_video_real(blob, self.hw,
+                                                      self.every_n)
             else:
                 frames, n_frames = _decode_video_fake(
                     blob, self.hw, self.frame_bytes, self.every_n)

@@ -314,3 +314,46 @@ class TestUpsertPatch:
             .sort_values("k").reset_index(drop=True)
         assert (out.price == base.price).all()
         assert out.tag.isna().all()
+
+
+class TestRangeFoldEmptyRanges:
+    def test_more_ranges_than_keys(self):
+        # Round-4 review: with |distinct keys| < nranges some ranges are
+        # empty; empty slices must carry the explicit target schema (not
+        # inferred null types) and out_names must apply inside the fold
+        # (Dataset.rename_columns skips zero-row bundles).
+        df = pd.DataFrame({"k": ["a", "b", "c"] * 10,
+                           "v": np.arange(30, dtype="int64")})
+        ds = ray.data.from_pandas(df).repartition(4)
+
+        def local(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("k", as_index=False).agg(__n=("v", "size"))
+            return g.astype({"__n": "int64"})
+
+        partial = ds.map_batches(local, batch_format="pandas")
+        out = dedupmod.range_fold_partials(
+            partial, ["k"], [("__n", "sum")], nranges=16,
+            out_names=["k", "n"])
+        # every block (including the 13+ empty ranges) must share the
+        # renamed, correctly-typed schema
+        types = set()
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+            assert b.column_names == ["k", "n"]
+            types.add((str(b.schema.field("k").type),
+                       str(b.schema.field("n").type)))
+        assert types == {("string", "int64")}
+        got = out.to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got.k) == ["a", "b", "c"]
+        assert list(got.n) == [10, 10, 10]
+
+    def test_postings_with_tiny_vocab_many_ranges(self):
+        from geetiles_ray.pipelines import analytics as an
+        df = pd.DataFrame({"doc_id": np.arange(20, dtype="int64"),
+                           "text": ["alpha beta"] * 20})
+        ds = ray.data.from_pandas(df).repartition(3)
+        # 2-token vocab; default nranges on a many-core host >> 2
+        post = an.token_postings(ds)
+        got = post.to_pandas().sort_values("token").reset_index(drop=True)
+        assert list(got.columns) == ["token", "df", "tf", "first_doc"]
+        assert list(got.token) == ["alpha", "beta"]
+        assert list(got.tf) == [20, 20]

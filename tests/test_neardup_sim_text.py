@@ -461,7 +461,8 @@ class TestVideo:
 
         def fake_real(blob, hw, every_n):
             calls.append(blob)
-            return [(0, np.full((hw[0], hw[1], 3), 3, dtype=np.uint8))]
+            # contract: (sampled frames, container TOTAL frame count)
+            return [(0, np.full((hw[0], hw[1], 3), 3, dtype=np.uint8))], 5
 
         monkeypatch.setattr(multimodal, "_HAVE_AV", True)
         monkeypatch.setattr(multimodal, "_decode_video_real", fake_real)
@@ -471,7 +472,8 @@ class TestVideo:
                                                 type=pa.binary())}))
         assert len(calls) == 2
         assert out["decoder"].to_pylist() == ["real", "real"]
-        assert out["n_frames"].to_pylist() == [1, 1]
+        # n_frames is the container total, NOT the sampled count
+        assert out["n_frames"].to_pylist() == [5, 5]
 
 
 class TestNormalizeText:
