@@ -74,14 +74,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    # GRAFT_ORACLE_CPUS=32 replicates the driver/bench host shape — the
+    # round-4 empty-hash-range bug only reproduced at high core counts
+    ncpu = int(os.environ.get("GRAFT_ORACLE_CPUS", "8"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR")
     sys.path.insert(0, "/root/repo")
     from geetiles_ray.ray_tuning import tune
 
-    tune(8)
+    tune(ncpu)
 
     import __ray_entry__ as mod
 
