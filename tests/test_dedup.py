@@ -357,3 +357,86 @@ class TestRangeFoldEmptyRanges:
         assert list(got.columns) == ["token", "df", "tf", "first_doc"]
         assert list(got.token) == ["alpha", "beta"]
         assert list(got.tf) == [20, 20]
+
+
+class TestUpsertPatchProperties:
+    def test_matches_pandas_coalesce(self):
+        # property: upsert_patch == LEFT JOIN + COALESCE for random keys,
+        # random null patches and random duplicate update multiplicity
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.integers(0, 10**6))
+        def prop(seed):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(3, 40))
+            base = pd.DataFrame({
+                "k": np.arange(n, dtype="int64"),
+                "v": rng.integers(0, 1000, n).astype("int64"),
+            })
+            m = int(rng.integers(0, 30))
+            upd = pd.DataFrame({
+                "k": rng.integers(0, n * 2, m).astype("int64"),
+                "ver": rng.integers(0, 5, m).astype("int64"),
+                "v": pd.array([None if rng.random() < 0.3
+                               else int(rng.integers(0, 1000))
+                               for _ in range(m)], dtype="Int64"),
+            })
+            got = dedupmod.upsert_patch(
+                ray.data.from_pandas(base).repartition(3),
+                ray.data.from_arrow(pa.Table.from_pandas(
+                    upd, preserve_index=False)),
+                key="k", order_col="ver").to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            # pandas oracle: latest per key (ver, then position), COALESCE
+            u = upd.copy().reset_index()
+            u = u.sort_values(["k", "ver", "index"], kind="mergesort") \
+                .drop_duplicates("k", keep="last")
+            exp = base.merge(u[["k", "v"]], on="k", how="left",
+                             suffixes=("", "__u"))
+            exp["v"] = exp["v__u"].astype("float64").combine_first(
+                exp["v"].astype("float64"))
+            assert list(got.k) == list(exp.k)
+            assert list(got.v.astype("float64")) == list(exp.v)
+
+        prop()
+
+
+class TestRangeFoldProperties:
+    def test_matches_pandas_groupby(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.integers(0, 10**6), st.integers(2, 40),
+               st.booleans())
+        def prop(seed, nranges, route_subset):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(1, 200))
+            df = pd.DataFrame({
+                "a": rng.integers(0, 8, n).astype("int64"),
+                "b": [f"t{x}" for x in rng.integers(0, 6, n)],
+                "v": rng.integers(-50, 50, n).astype("int64"),
+            })
+            ds = ray.data.from_pandas(df).repartition(
+                int(rng.integers(1, 6)))
+
+            def local(x: pd.DataFrame) -> pd.DataFrame:
+                g = x.groupby(["a", "b"], as_index=False).agg(
+                    __s=("v", "sum"), __m=("v", "min"))
+                return g.astype({"__s": "int64", "__m": "int64"})
+
+            partial = ds.map_batches(local, batch_format="pandas")
+            got = dedupmod.range_fold_partials(
+                partial, ["a", "b"], [("__s", "sum"), ("__m", "min")],
+                nranges=nranges,
+                range_by=["a"] if route_subset else None,
+                out_names=["a", "b", "s", "m"]).to_pandas() \
+                .sort_values(["a", "b"]).reset_index(drop=True)
+            exp = df.groupby(["a", "b"], as_index=False).agg(
+                s=("v", "sum"), m=("v", "min")) \
+                .sort_values(["a", "b"]).reset_index(drop=True) \
+                .astype({"s": "int64", "m": "int64"})
+            pd.testing.assert_frame_equal(
+                got.astype(exp.dtypes.to_dict()), exp)
+
+        prop()

@@ -263,3 +263,35 @@ class TestDecontaminate:
             .to_pandas()
         assert not got.contaminated.any()
         assert (got.n_matched == 0).all()
+
+
+class TestDecontaminateProperties:
+    def test_planted_overlap_always_flagged(self):
+        # property: planting ANY width-window of an eval text inside a doc
+        # forces contamination; docs built from a disjoint vocab never flag
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(0, 10**6), st.integers(0, 30),
+               st.integers(2, 5))
+        def prop(seed, offset, width):
+            rng = np.random.default_rng(seed)
+            ev_words = [f"e{rng.integers(0, 50)}" for _ in range(width + 6)]
+            eval_text = " ".join(ev_words)
+            start = int(rng.integers(0, len(ev_words) - width + 1))
+            planted = ev_words[start:start + width]
+            clean_words = [f"c{rng.integers(0, 50)}" for _ in range(12)]
+            cut = offset % (len(clean_words) + 1)
+            dirty = clean_words[:cut] + planted + clean_words[cut:]
+            df = pd.DataFrame({
+                "doc_id": np.array([0, 1], dtype="int64"),
+                "text": [" ".join(dirty), " ".join(clean_words)],
+            })
+            ref = lines.eval_ngram_set([eval_text], width=width)
+            got = lines.decontaminate(ray.data.from_pandas(df), ref,
+                                      width=width).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            assert bool(got.contaminated[0]) is True
+            assert bool(got.contaminated[1]) is False
+
+        prop()

@@ -30,6 +30,9 @@ except Exception:
     print(0)")
     if [ "$DONE" = "1" ]; then
       echo "$(date -Is) healthy-window flagship run captured" >> "$OUT"
+      echo "$(date -Is) running scaling pair in the same window" >> "$OUT"
+      python bench.py --scaling >> "$OUT" 2>>/tmp/healthy_bench_r4.err
+      echo "$(date -Is) scaling pair done" >> "$OUT"
       exit 0
     fi
   fi
