@@ -621,7 +621,8 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
 
 def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
               text_col: str = "text", min_count: int = 5,
-              k: int = 50) -> pd.DataFrame:
+              k: int = 50,
+              postings: ray.data.Dataset | None = None) -> pd.DataFrame:
     """Adjacent-bigram collocations ranked by frequency, scored with PMI
     ln(p(a,b) / (p(a)·p(b))) — the corpus-statistics operator behind
     phrase mining and tokenizer-merge candidates. Tokens are the shared
@@ -674,9 +675,12 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                              "pmi": []})
 
     # unigram counts: distributed postings fold; only the ≤2k tokens the
-    # candidate pairs reference are pulled to the driver
+    # candidate pairs reference are pulled to the driver. Pass
+    # ``postings`` to reuse a table the pipeline already built (tfidf's
+    # df_map pattern) and save the second corpus scan.
     import pyarrow.compute as pc
-    post = token_postings(ds, id_col, text_col).materialize()
+    post = (postings if postings is not None
+            else token_postings(ds, id_col, text_col)).materialize()
     n_uni = int(post.sum("tf"))
     toks_arr = pa.array(sorted(set(pairs.tok1) | set(pairs.tok2)),
                         type=pa.string())
