@@ -2462,6 +2462,49 @@ SELECT doc_id, domain FROM ranked WHERE r <= 20 ORDER BY doc_id
 """
 
 
+def q_model_score(sf_dir: str):
+    """Batched model inference plumbing (pipelines/sim.py linear_score):
+    every embedding scored by a broadcast linear head in an actor pool —
+    weights ray.put once, fetched in __init__, exact int64 dot product
+    (kmeans Q_SCALE quantization) so the 'model output' is value-hashed
+    against HUGEINT SQL. Weights are a splitmix function of the dimension
+    index; scores are dyadic-exact float64 both sides."""
+    from . import sim as simmod
+
+    dim, q = 64, 1 << 20
+    i = np.arange(1, dim + 1, dtype=np.uint64)
+    wq = ((i * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(44)) \
+        .astype(np.int64) - (1 << 19)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = simmod.linear_score(emb, wq, q_scale=q).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return out.astype({"vec_id": "int64", "score_q": "int64"})
+
+
+SQL_MODEL_SCORE = f"""
+WITH w AS (
+  SELECT d,
+         CAST((((d + 1)::HUGEINT * {0x9E3779B97F4A7C15}::HUGEINT)
+               & {(1 << 64) - 1}::HUGEINT)
+              // {1 << 44}::HUGEINT AS BIGINT) - {1 << 19} AS wq
+  FROM range(0, 64) t(d)
+), xq AS (
+  SELECT vec_id, d,
+         CAST(FLOOR(embedding[d + 1]::DOUBLE * {1 << 20} + 0.5) AS BIGINT)
+           AS xq
+  FROM embeddings, range(0, 64) t(d)
+)
+SELECT vec_id,
+       CAST(SUM(xq.xq * w.wq) AS BIGINT) AS score_q,
+       CAST(SUM(xq.xq * w.wq) AS BIGINT) / {float((1 << 20)) ** 2}
+         AS score
+FROM xq JOIN w USING (d)
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def q_video_features(sf_dir: str):
     """Video multimodal plumbing, oracle-checked end to end: document text
     bytes stand in for a video container; DecodeVideo 'demuxes' it into
@@ -3236,6 +3279,7 @@ REGISTRY = {
     "host_cap": (q_host_cap, SQL_HOST_CAP),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, SQL_VIDEO_FEATURES),
+    "model_score": (q_model_score, SQL_MODEL_SCORE),
     "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
     "hll_users": (q_hll_users, SQL_HLL_USERS),
     "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),

@@ -202,3 +202,46 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
         bucketize, batch_format="pyarrow", batch_size=8192)
     return brute_force_topk(pruned, qm, query_ids, k, id_col, vec_col,
                             exclude_self)
+
+
+# --------------------------------------------- batched model inference
+
+def linear_score(ds: ray.data.Dataset, weights: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_scale: int = 1 << 20,
+                 concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """Batched 'model inference' over an embedding column: score each row
+    with a broadcast linear head — the actor-pool plumbing every learned
+    scorer (quality classifier, reranker, reward model) runs on; only the
+    stub model is linear.
+
+    The weight vector is int-quantized and ``ray.put`` once; each actor
+    ray.gets it in ``__init__`` (never per batch). Scores are an EXACT
+    int64 dot product over floor-quantized embeddings (the kmeans
+    Q_SCALE discipline), so score_q is hashable against HUGEINT SQL and
+    score = score_q / q_scale² is a dyadic-exact float64 on both engines.
+
+    Magnitudes: |emb| ≤ 2048 and |w| ≤ 2²⁰ at q_scale 2²⁰ and dim ≤ 4096
+    keep the accumulated dot far under 2⁶³."""
+    import ray
+
+    wq = np.asarray(weights, dtype=np.int64)
+    w_ref = ray.put(wq)
+
+    class Scorer:
+        def __init__(self):
+            self.w = ray.get(w_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch[vec_col])
+            xq = np.floor(m.astype(np.float64) * q_scale + 0.5) \
+                .astype(np.int64)
+            s = xq @ self.w
+            return pa.table({
+                id_col: batch[id_col],
+                "score_q": pa.array(s, type=pa.int64()),
+                "score": pa.array(s / (float(q_scale) ** 2)),
+            })
+
+    return ds.map_batches(Scorer, batch_format="pyarrow",
+                          concurrency=concurrency)

@@ -502,3 +502,21 @@ class TestNormalizeText:
         assert list(out.text_norm) == ["a b c", ""]
         assert list(out.n_chars_norm) == [5, 0]
         assert list(out.n_tokens_norm) == [3, 0]
+
+
+class TestLinearScore:
+    def test_matches_numpy_dot(self):
+        from geetiles_ray.pipelines import sim as simmod
+        rng = np.random.default_rng(7)
+        dim, q = 16, 1 << 20
+        emb = rng.standard_normal((40, dim)).astype(np.float32) * 0.5
+        wq = rng.integers(-(1 << 19), 1 << 19, dim).astype(np.int64)
+        df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                           "embedding": list(emb)})
+        ds = ray.data.from_pandas(df).repartition(3)
+        got = simmod.linear_score(ds, wq, q_scale=q).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        xq = np.floor(emb.astype(np.float64) * q + 0.5).astype(np.int64)
+        exp = xq @ wq
+        assert (got.score_q.to_numpy() == exp).all()
+        assert np.array_equal(got.score.to_numpy(), exp / float(q) ** 2)
