@@ -702,3 +702,61 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
                             ascending=[False, True, True],
                             kind="mergesort").head(k)
     return out.reset_index(drop=True).astype({"n_pair": "int64"})
+
+
+# ------------------------------------------- skip-gram co-occurrence
+
+def skipgram_pairs(ds: ray.data.Dataset, window: int = 2,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_count: int = 2, k: int = 50) -> pd.DataFrame:
+    """Windowed co-occurrence counts — the word2vec/GloVe corpus table:
+    ordered token pairs (left, right) within ``window`` positions of each
+    other inside a document, counted corpus-wide, top-``k`` by
+    (count desc, tok1, tok2). Tokens are the shared LangId tokenizer
+    (re-indexed after empty-token drops, like pmi_pairs).
+
+    Same physical plan as pmi_pairs: per-block pair-count combiner →
+    distributed hash-range fold (pair space is vocab²-bounded and NEVER
+    lands on the driver) → per-range min_count filter + local top-k
+    (globally safe: each pair lives in one range) → ≤ ranges·k rows to
+    the driver."""
+    from .dedup import range_fold_partials
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(df[text_col])
+        rows = toks.index.to_numpy()
+        t = toks.to_numpy()
+        lefts, rights = [], []
+        for off in range(1, window + 1):
+            if len(t) <= off:
+                break
+            same = rows[off:] == rows[:-off]
+            lefts.append(t[:-off][same])
+            rights.append(t[off:][same])
+        if not lefts:
+            return pd.DataFrame({"tok1": pd.Series([], dtype=str),
+                                 "tok2": pd.Series([], dtype=str),
+                                 "__n": pd.Series([], dtype="int64")})
+        p = pd.DataFrame({"tok1": np.concatenate(lefts),
+                          "tok2": np.concatenate(rights)})
+        g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
+        return g.reset_index().astype({"__n": "int64"})
+
+    partial = ds.select_columns([id_col, text_col]) \
+        .map_batches(local, batch_format="pandas")
+    folded = range_fold_partials(partial, ["tok1", "tok2"],
+                                 [("__n", "sum")],
+                                 out_names=["tok1", "tok2", "n"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= min_count]
+        return df.sort_values(["n", "tok1", "tok2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+
+    cand = folded.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas()
+    out = cand.sort_values(["n", "tok1", "tok2"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(k).reset_index(drop=True)
+    return out.astype({"n": "int64"})

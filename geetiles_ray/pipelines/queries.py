@@ -2944,6 +2944,49 @@ ORDER BY n_pair DESC, tok1, tok2 LIMIT 50
 SQL_PMI_PAIRS = _sql_pmi_pairs()
 
 
+def q_skipgram_pairs(sf_dir: str):
+    """Windowed co-occurrence counts (analytics.skipgram_pairs, window=2
+    — the word2vec/GloVe corpus table): ordered token pairs within 2
+    positions, counted corpus-wide through the distributed range fold,
+    top-50 by (count desc, tok1, tok2)."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return anmod.skipgram_pairs(docs, window=2, min_count=2, k=50)
+
+
+def _sql_skipgram_pairs() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS raw,
+         unnest(range(len(regexp_split_to_array(lower(text), '\\s+'))))
+           AS i
+  FROM documents
+), t2 AS (
+  SELECT doc_id, trim(raw, '{strip_sql}') AS token, i FROM toks
+  WHERE trim(raw, '{strip_sql}') <> ''
+), seq AS (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM t2
+), pairs AS (
+  SELECT a.token AS tok1, b.token AS tok2, COUNT(*) AS n
+  FROM seq a JOIN seq b
+    ON a.doc_id = b.doc_id AND b.rn > a.rn AND b.rn <= a.rn + 2
+  GROUP BY a.token, b.token
+)
+SELECT tok1, tok2, CAST(n AS BIGINT) AS n FROM pairs
+WHERE n >= 2
+ORDER BY n DESC, tok1, tok2 LIMIT 50
+"""
+
+
+SQL_SKIPGRAM_PAIRS = _sql_skipgram_pairs()
+
+
 def q_tile_top_tokens(sf_dir: str):
     """Geo × text synthesis: the 3 most frequent tokens per tile (what is
     crawled where). Per-batch (tile, token) count partials → one hash
@@ -3286,6 +3329,7 @@ REGISTRY = {
     "cms_events": (q_cms_events, SQL_CMS_EVENTS),
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
+    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
     "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
     "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
     "patch_orders": (q_patch_orders, SQL_PATCH_ORDERS),

@@ -563,3 +563,37 @@ class TestSessionWindows:
             .to_pandas().sort_values("event_id")
         # gap of exactly 100 does NOT break; 101 and 699 do
         assert got.session_id.tolist() == [0, 0, 1, 2]
+
+
+class TestSkipgram:
+    def test_matches_brute(self):
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a b c d", "b a b", "x"],
+        })
+        got = an.skipgram_pairs(_ds(df, 2), window=2, min_count=1, k=100)
+        # brute: ordered pairs within 2 positions per doc
+        from collections import Counter
+        c = Counter()
+        for t in df.text:
+            ws = t.split()
+            for i in range(len(ws)):
+                for j in range(i + 1, min(i + 3, len(ws))):
+                    c[(ws[i], ws[j])] += 1
+        exp = sorted(((a, b, n) for (a, b), n in c.items()),
+                     key=lambda r: (-r[2], r[0], r[1]))
+        assert list(map(tuple, got[["tok1", "tok2", "n"]].to_numpy())) \
+            == exp
+
+    def test_window_one_equals_pmi_adjacency_counts(self):
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["a b a b", "b a"]})
+        got = an.skipgram_pairs(_ds(df, 1), window=1, min_count=1, k=100)
+        pmi = an.pmi_pairs(_ds(df, 1), min_count=1, k=100)
+        a = got[["tok1", "tok2", "n"]].sort_values(
+            ["tok1", "tok2"]).reset_index(drop=True)
+        b = pmi[["tok1", "tok2", "n_pair"]].rename(
+            columns={"n_pair": "n"}).sort_values(
+            ["tok1", "tok2"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype({"n": "int64"}),
+                                      b.astype({"n": "int64"}))
