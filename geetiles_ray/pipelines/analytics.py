@@ -224,6 +224,9 @@ def top_tokens(ds: ray.data.Dataset, text_col: str = "text", k: int = 50,
                               kind="mergesort").head(k)
 
     merged = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if merged.empty:  # Ray's to_pandas drops columns for 0-row datasets
+        merged = pd.DataFrame({"token": pd.Series([], dtype=str),
+                               "n": pd.Series([], dtype="int64")})
     out = merged.sort_values(["n", "token"], ascending=[False, True],
                              kind="mergesort").head(k).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
@@ -756,6 +759,11 @@ def skipgram_pairs(ds: ray.data.Dataset, window: int = 2,
 
     cand = folded.map_batches(local_topk, batch_format="pandas") \
         .to_pandas()
+    if cand.empty:
+        # Ray's to_pandas drops ALL columns for 0-row datasets
+        return pd.DataFrame({"tok1": pd.Series([], dtype=str),
+                             "tok2": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype="int64")})
     out = cand.sort_values(["n", "tok1", "tok2"],
                            ascending=[False, True, True],
                            kind="mergesort").head(k).reset_index(drop=True)

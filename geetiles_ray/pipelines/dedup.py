@@ -523,11 +523,20 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     final_names = list(out_names) if out_names else out_cols
     mat = partial.materialize()
     refs = mat.get_internal_block_refs()
-    if not refs:
-        empty = partial.select_columns(out_cols)
-        if out_names:
-            empty = empty.rename_columns(dict(zip(out_cols, final_names)))
-        return empty
+    if not refs or mat.schema() is None:
+        # zero blocks, or an input so empty Ray reports no schema: emit a
+        # correctly-named-and-typed empty table directly (Dataset.rename
+        # on an empty dataset is the skip-empty-bundles trap again)
+        import ray as _ray
+
+        from ..functions.arrowio import dataset_arrow_schema
+        try:
+            sch = dataset_arrow_schema(partial, out_cols)
+        except AttributeError:
+            sch = pa.schema([(n, pa.null()) for n in out_cols])
+        empty = pa.table({fn: pa.nulls(0, t.type)
+                          for fn, t in zip(final_names, sch)})
+        return ray.data.from_arrow_refs([_ray.put(empty)])
     # ONE explicit Arrow schema for every slice and fold output: an empty
     # hash range's pandas slice would otherwise infer null-typed columns
     # and break schema unification downstream (round-4 review finding —
