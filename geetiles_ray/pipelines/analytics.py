@@ -622,6 +622,36 @@ def cms_counts(ds: ray.data.Dataset, key_col: str, depth: int = 4,
 
 # ------------------------------------------------------- PMI collocations
 
+def _pair_counts_local(text_col: str, window: int):
+    """Per-batch (tok1, tok2, __n) combiner shared by pmi_pairs (window=1,
+    adjacency) and skipgram_pairs (window=w): ordered same-row token pairs
+    within ``window`` positions, counted per batch. One kernel so the
+    tokenizer/re-indexing contract cannot drift between the two operators
+    (their SQL twins replay the identical sequence)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(df[text_col])
+        rows = toks.index.to_numpy()
+        t = toks.to_numpy()
+        lefts, rights = [], []
+        for off in range(1, window + 1):
+            if len(t) <= off:
+                break
+            same = rows[off:] == rows[:-off]
+            lefts.append(t[:-off][same])
+            rights.append(t[off:][same])
+        if not lefts:
+            return pd.DataFrame({"tok1": pd.Series([], dtype=str),
+                                 "tok2": pd.Series([], dtype=str),
+                                 "__n": pd.Series([], dtype="int64")})
+        p = pd.DataFrame({"tok1": np.concatenate(lefts),
+                          "tok2": np.concatenate(rights)})
+        g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
+        return g.reset_index().astype({"__n": "int64"})
+
+    return local
+
+
 def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
               text_col: str = "text", min_count: int = 5,
               k: int = 50,
@@ -641,23 +671,10 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     one range — and only ≤ ranges·k candidate rows plus the ≤ 2k unigram
     counts they need ever reach the driver."""
     from .dedup import range_fold_partials
-    from .text import TOKEN_STRIP
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = tokenize(df[text_col])
-        rows = toks.index.to_numpy()
-        t = toks.to_numpy()
-        if len(t) < 2:
-            return pd.DataFrame({"tok1": pd.Series([], dtype=str),
-                                 "tok2": pd.Series([], dtype=str),
-                                 "__n": pd.Series([], dtype="int64")})
-        same = rows[1:] == rows[:-1]
-        p = pd.DataFrame({"tok1": t[:-1][same], "tok2": t[1:][same]})
-        g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
-        return g.reset_index().astype({"__n": "int64"})
 
     partial = ds.select_columns([id_col, text_col]) \
-        .map_batches(local, batch_format="pandas")
+        .map_batches(_pair_counts_local(text_col, window=1),
+                     batch_format="pandas")
     folded = range_fold_partials(partial, ["tok1", "tok2"],
                                  [("__n", "sum")]).materialize()
     n_bi = folded.sum("__n") or 0
@@ -682,6 +699,14 @@ def pmi_pairs(ds: ray.data.Dataset, id_col: str = "doc_id",
     # ``postings`` to reuse a table the pipeline already built (tfidf's
     # df_map pattern) and save the second corpus scan.
     import pyarrow.compute as pc
+    if postings is not None:
+        names = set(postings.schema().names)
+        if not {"token", "tf"} <= names:
+            raise ValueError(
+                "postings must be a token_postings-shaped table with "
+                f"'token' and 'tf' columns (got {sorted(names)}); it must "
+                "also come from the SAME tokenizer or PMI is silently "
+                "wrong")
     post = (postings if postings is not None
             else token_postings(ds, id_col, text_col)).materialize()
     n_uni = int(post.sum("tf"))
@@ -725,28 +750,9 @@ def skipgram_pairs(ds: ray.data.Dataset, window: int = 2,
     the driver."""
     from .dedup import range_fold_partials
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        toks = tokenize(df[text_col])
-        rows = toks.index.to_numpy()
-        t = toks.to_numpy()
-        lefts, rights = [], []
-        for off in range(1, window + 1):
-            if len(t) <= off:
-                break
-            same = rows[off:] == rows[:-off]
-            lefts.append(t[:-off][same])
-            rights.append(t[off:][same])
-        if not lefts:
-            return pd.DataFrame({"tok1": pd.Series([], dtype=str),
-                                 "tok2": pd.Series([], dtype=str),
-                                 "__n": pd.Series([], dtype="int64")})
-        p = pd.DataFrame({"tok1": np.concatenate(lefts),
-                          "tok2": np.concatenate(rights)})
-        g = p.groupby(["tok1", "tok2"], sort=False).size().rename("__n")
-        return g.reset_index().astype({"__n": "int64"})
-
     partial = ds.select_columns([id_col, text_col]) \
-        .map_batches(local, batch_format="pandas")
+        .map_batches(_pair_counts_local(text_col, window),
+                     batch_format="pandas")
     folded = range_fold_partials(partial, ["tok1", "tok2"],
                                  [("__n", "sum")],
                                  out_names=["tok1", "tok2", "n"])

@@ -524,18 +524,24 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     mat = partial.materialize()
     refs = mat.get_internal_block_refs()
     if not refs or mat.schema() is None:
-        # zero blocks, or an input so empty Ray reports no schema: emit a
-        # correctly-named-and-typed empty table directly (Dataset.rename
-        # on an empty dataset is the skip-empty-bundles trap again)
+        # zero blocks, or an all-empty input for which Ray reports no
+        # dataset schema: emit a correctly-named-and-typed empty table
+        # directly (Dataset.rename on an empty dataset is the
+        # skip-empty-bundles trap again). The BLOCKS still carry dtypes
+        # even at 0 rows — read the first one rather than re-executing
+        # the plan or falling back to null types.
         import ray as _ray
-
-        from ..functions.arrowio import dataset_arrow_schema
-        try:
-            sch = dataset_arrow_schema(partial, out_cols)
-        except AttributeError:
+        if refs:
+            blk = _ray.get(refs[0])
+            if isinstance(blk, pd.DataFrame):
+                sch = pa.Schema.from_pandas(blk[out_cols],
+                                            preserve_index=False)
+            else:
+                sch = blk.select(out_cols).schema
+        else:  # truly zero blocks: types unknowable — last resort
             sch = pa.schema([(n, pa.null()) for n in out_cols])
-        empty = pa.table({fn: pa.nulls(0, t.type)
-                          for fn, t in zip(final_names, sch)})
+        empty = pa.table({fn: pa.nulls(0, f.type)
+                          for fn, f in zip(final_names, sch)})
         return ray.data.from_arrow_refs([_ray.put(empty)])
     # ONE explicit Arrow schema for every slice and fold output: an empty
     # hash range's pandas slice would otherwise infer null-typed columns
@@ -554,6 +560,11 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     @ray.remote(num_cpus=0.5)
     def split_block(t):
         df = t if isinstance(t, pd.DataFrame) else t.to_pandas()
+        if not len(df) and not set(out_cols) <= set(df.columns):
+            # an all-empty pandas block can arrive with NO columns at all
+            # (Ray's 0-row column loss); emit typed empty slices
+            e = pa.table({f.name: pa.nulls(0, f.type) for f in target})
+            return tuple(e for _ in range(nranges))
         df = df[out_cols]
         h = pd.util.hash_pandas_object(df[route_cols],
                                        index=False).to_numpy()
@@ -715,7 +726,11 @@ def upsert_patch(base: ray.data.Dataset, updates: ray.data.Dataset,
     and update keys absent from base are dropped (pure patch, no insert —
     that is :func:`upsert`). Patch columns not present in base become new
     columns (NULL for unpatched rows). Multiple updates per key resolve
-    by greatest ``order_col`` (then update-file order).
+    by greatest ``order_col``; rows TIED on (key, order_col) resolve
+    arbitrarily — the pre-exchange row order is not preserved through the
+    shuffle, so callers needing determinism must provide an order column
+    that is unique per key (the usual version/timestamp contract,
+    identical to SQL's nondeterministic pick under ROW_NUMBER ties).
 
     Physical plan: both sides are hash-bucketed on the key and co-located
     by ONE grouped_apply exchange; the per-bucket kernel is a vectorized

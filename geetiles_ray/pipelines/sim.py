@@ -209,7 +209,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
 def linear_score(ds: ray.data.Dataset, weights: np.ndarray,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  q_scale: int = 1 << 20,
-                 concurrency: int | tuple = 2) -> ray.data.Dataset:
+                 concurrency: int | tuple | None = None) -> ray.data.Dataset:
     """Batched 'model inference' over an embedding column: score each row
     with a broadcast linear head — the actor-pool plumbing every learned
     scorer (quality classifier, reranker, reward model) runs on; only the
@@ -225,6 +225,11 @@ def linear_score(ds: ray.data.Dataset, weights: np.ndarray,
     keep the accumulated dot far under 2⁶³."""
     import ray
 
+    if concurrency is None:
+        # size the inference pool to the cluster, not a hardcoded 2 —
+        # scoring is the throughput stage of a curation pipeline
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (2, max(2, ncpu // 2))
     wq = np.asarray(weights, dtype=np.int64)
     w_ref = ray.put(wq)
 

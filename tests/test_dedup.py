@@ -375,9 +375,12 @@ class TestUpsertPatchProperties:
                 "v": rng.integers(0, 1000, n).astype("int64"),
             })
             m = int(rng.integers(0, 30))
+            # ver unique per update row: ties on (k, ver) resolve
+            # arbitrarily by contract (row order does not survive the
+            # exchange), so the oracle must not depend on file position
             upd = pd.DataFrame({
                 "k": rng.integers(0, n * 2, m).astype("int64"),
-                "ver": rng.integers(0, 5, m).astype("int64"),
+                "ver": rng.permutation(m).astype("int64"),
                 "v": pd.array([None if rng.random() < 0.3
                                else int(rng.integers(0, 1000))
                                for _ in range(m)], dtype="Int64"),

@@ -31,8 +31,26 @@ except Exception:
     if [ "$DONE" = "1" ]; then
       echo "$(date -Is) healthy-window flagship run captured" >> "$OUT"
       echo "$(date -Is) running scaling pair in the same window" >> "$OUT"
-      python bench.py --scaling >> "$OUT" 2>>/tmp/healthy_bench_r4.err
-      echo "$(date -Is) scaling pair done" >> "$OUT"
+      if python bench.py --scaling >> "$OUT" 2>>/tmp/healthy_bench_r4.err; then
+        # gate the capture like the flagship leg: the window must still
+        # be healthy AFTER the pair, or the number is labeled tainted
+        POSTP=$(python3 -c "
+import sys; sys.path.insert(0,'/root/repo')
+from bench import host_probe
+import json; print(json.dumps(host_probe()))")
+        echo "$(date -Is) post-scaling probe $POSTP" >> "$OUT"
+        POSTOK=$(python3 -c "
+import json
+p=json.loads('$POSTP')
+print(1 if p['host_matmul_sec']<0.6 and p['host_memsum_gbps']>4.0 else 0)")
+        if [ "$POSTOK" = "1" ]; then
+          echo "$(date -Is) scaling pair captured HEALTHY-WINDOW" >> "$OUT"
+        else
+          echo "$(date -Is) scaling pair recorded but window degraded mid-run (tainted)" >> "$OUT"
+        fi
+      else
+        echo "$(date -Is) scaling pair FAILED (see /tmp/healthy_bench_r4.err)" >> "$OUT"
+      fi
       exit 0
     fi
   fi
