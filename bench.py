@@ -50,7 +50,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "event_sessions",
                  # round-4 operators
                  "decontaminate", "video_features", "patch_orders",
-                 "normalize_text", "model_score", "skipgram_pairs"]
+                 "normalize_text", "model_score", "skipgram_pairs",
+                 "link_graph", "event_deltas"]
 
 
 def host_probe() -> dict:

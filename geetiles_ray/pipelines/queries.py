@@ -3258,6 +3258,99 @@ FROM lagged ORDER BY event_id
 """
 
 
+def q_link_graph(sf_dir: str):
+    """Hyperlink extraction from raw html (functions/links.py): synthesize
+    crawl-shaped html per document with the deterministic outlink rule
+    (empty anchors — the byte-identical text invariant holds), run the
+    compiled-regex href extraction over the binary column, and aggregate
+    host-level indegree. The oracle replays the synthesis rule closed-form
+    (UNNEST(range(doc_id % 4))) — a value-hash match proves the html parse
+    recovered every edge exactly. Aggregation is a 97-key combiner partial
+    per block + one tiny driver groupby: exchange-free at any corpus size."""
+    from ..functions import links as linksmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def build_html(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        htmls = [linksmod.html_with_links(t, int(d))
+                 for t, d in zip(texts, ids)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pa.array(htmls, type=pa.binary())})
+
+    edges = docs.map_batches(build_html, batch_format="pyarrow") \
+        .map_batches(linksmod.extract_links_batch, batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst_host", sort=False)["doc_id"]
+        return pd.DataFrame({
+            "dst_host": g.size().index,
+            "__n": g.size().to_numpy().astype("int64"),
+            "__mn": g.min().to_numpy().astype("int64"),
+            "__mx": g.max().to_numpy().astype("int64"),
+        })
+
+    agg = edges.map_batches(partial, batch_format="pandas") \
+        .to_pandas().groupby("dst_host").agg(
+            inlinks=("__n", "sum"), min_src=("__mn", "min"),
+            max_src=("__mx", "max")) \
+        .reset_index().sort_values("dst_host").reset_index(drop=True)
+    return agg.astype({"inlinks": "int64", "min_src": "int64",
+                       "max_src": "int64"})
+
+
+SQL_LINK_GRAPH = """
+WITH links AS (
+  SELECT doc_id, UNNEST(range(CAST(doc_id % 4 AS BIGINT))) AS j
+  FROM documents
+)
+SELECT ('dst' || CAST((doc_id*31 + j*17 + 7) % 97 AS VARCHAR) || '.example')
+         AS dst_host,
+       COUNT(*) AS inlinks,
+       MIN(doc_id) AS min_src,
+       MAX(doc_id) AS max_src
+FROM links GROUP BY dst_host ORDER BY dst_host
+"""
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user inter-arrival deltas (temporal.lag_deltas): the LAG window
+    operator — every event labeled with µs since the previous event of the
+    same user (first event of a user = -1 sentinel, keeping the column
+    non-nullable int64). Integer µs subtraction → engine-exact."""
+    from ..stages import temporal as tmod
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts_us": batch["ts"].cast(pa.int64())})
+
+    out = tmod.lag_deltas(ev.map_batches(to_us, batch_format="pyarrow"),
+                          key="user_id", ts="ts_us",
+                          order_tiebreak="event_id", out_col="delta_us") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    return out[["event_id", "user_id", "ts_us", "delta_us"]] \
+        .astype({"delta_us": "int64"})
+
+
+SQL_EVENT_DELTAS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COALESCE(
+         ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id),
+         -1) AS BIGINT) AS delta_us
+FROM e ORDER BY event_id
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -3335,4 +3428,6 @@ REGISTRY = {
     "patch_orders": (q_patch_orders, SQL_PATCH_ORDERS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "link_graph": (q_link_graph, SQL_LINK_GRAPH),
+    "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
 }

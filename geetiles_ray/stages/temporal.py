@@ -474,3 +474,42 @@ def session_windows(ds: ray.data.Dataset, key: str, ts: str,
         return d.drop(columns=["__bucket"])
 
     return grouped_apply(tagged, kernel, nbuckets)
+
+
+def lag_deltas(ds: ray.data.Dataset, key: str, ts: str,
+               order_tiebreak: str | None = None,
+               out_col: str = "delta", first_value: int = -1,
+               nbuckets: int = 32) -> ray.data.Dataset:
+    """Per-key LAG window: every row gets ``ts - LAG(ts)`` over
+    (PARTITION BY key ORDER BY ts, tiebreak) — inter-arrival deltas, the
+    lead/lag window operator session_windows' cumsum cannot express. The
+    first row of each key gets ``first_value`` (an integer sentinel, not
+    NULL, so the output column stays non-nullable int64 end to end).
+    Same plan as session_windows: one key-hash exchange co-locating each
+    key's whole timeline, then a vectorized sort + diff kernel per bucket
+    (keep ``ts`` integer so the subtraction is engine-exact)."""
+    tb = [order_tiebreak] if order_tiebreak else []
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__bucket"])
+        d = df.sort_values([key, ts] + tb, kind="mergesort")
+        kk = d[key].to_numpy()
+        tt = d[ts].to_numpy()
+        delta = np.empty(len(d), dtype=np.int64)
+        delta[0] = first_value
+        delta[1:] = tt[1:] - tt[:-1]
+        new_key = np.empty(len(d), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = kk[1:] != kk[:-1]
+        delta[new_key] = first_value
+        d[out_col] = delta
+        return d.drop(columns=["__bucket"])
+
+    return grouped_apply(tagged, kernel, nbuckets)
