@@ -56,6 +56,49 @@ def add_url_columns(ds: ray.data.Dataset, url_col: str = "url",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------- canonical
+# URL canonicalization: the crawl-dedup normalizer (fragment strip, scheme/
+# host lowercase, userinfo/default-port strip, tracking-param removal,
+# trailing-slash strip). Every step is a plain regex with NO lookarounds so
+# Python re (engine, via pandas .str.replace C path) and RE2 (DuckDB
+# regexp_replace in the SQL twin) execute it identically; the twin replays
+# the same chain as a CTE (queries.py SQL_CANONICAL_URLS), so an oracle
+# value-hash match proves both regex engines agreed on every row.
+#
+# Step order matters and is part of the contract:
+#   1. fragment strip   2. lower(scheme)+lower(host), drop userinfo@
+#   3. default-port strip (http:80 / https:443)   4. '?' → '&' unify
+#   5. tracking params out (utm_*, fbclid, gclid, ref)
+#   6. first '&' back to '?'   7. trailing-slash strip (end of string only)
+_TRACKING_PARAMS = r"(utm_[^=&]*|fbclid|gclid|ref)"
+# (pattern, replacement, first_match_only) — replacement syntax '\1' is
+# shared verbatim by re.sub and DuckDB regexp_replace
+CANON_POST_STEPS: list[tuple[str, str, bool]] = [
+    (r"^(http://[^/?#:]*):80([/?]|$)", r"\1\2", False),
+    (r"^(https://[^/?#:]*):443([/?]|$)", r"\1\2", False),
+    (r"\?", "&", False),
+    (r"&" + _TRACKING_PARAMS + r"=[^&]*", "", False),
+    (r"&", "?", True),
+    (r"([^:/])/$", r"\1", False),
+]
+_SPLIT_RE = r"^([^:/?#]+)://([^/?#]*)(.*)$"
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized canonical form of each URL (see step list above).
+    Unparseable rows (no scheme://authority) pass through with only the
+    fragment stripped — never NaN."""
+    s = urls.str.replace(r"#.*$", "", regex=True)
+    parts = s.str.extract(_SPLIT_RE)
+    rebuilt = (parts[0].str.lower() + "://"
+               + parts[1].str.replace(_USERINFO_RE, "", regex=True).str.lower()
+               + parts[2].fillna(""))
+    s = rebuilt.where(parts[0].notna(), s)
+    for pat, repl, first in CANON_POST_STEPS:
+        s = s.str.replace(pat, repl, n=1 if first else -1, regex=True)
+    return s
+
+
 def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
                  lang_col: str = "lang",
                  size_col: str = "n_chars") -> pd.DataFrame:

@@ -3351,6 +3351,118 @@ FROM e ORDER BY event_id
 """
 
 
+def _dirty_urls(d: np.ndarray) -> pd.Series:
+    """Deterministic crawl-messy URL per doc_id — mixed-case scheme/host,
+    optional userinfo@, default ports, trailing slash, tracking params and
+    fragments, each driven by a residue of doc_id so the SQL twin rebuilds
+    the identical string with CASE arithmetic."""
+    return (pd.Series(np.where(d % 2 == 0, "HTTPS", "http")).astype(str)
+            + "://"
+            + pd.Series(np.where(d % 7 == 0, "crawler@", "")).astype(str)
+            + "WWW.Site" + pd.Series(d % 50).astype(str) + ".Example"
+            + pd.Series(np.where(d % 3 == 0,
+                                 np.where(d % 2 == 0, ":443", ":80"),
+                                 "")).astype(str)
+            + "/p/" + pd.Series(d % 20).astype(str)
+            + pd.Series(np.where(d % 4 == 0, "/", "")).astype(str)
+            + pd.Series(np.select(
+                [(d % 5 == 0) | (d % 5 == 1), d % 5 == 2, d % 5 == 3],
+                ["?utm_source=x&id=" + pd.Series(d % 10).astype(str),
+                 "?gclid=g&id=" + pd.Series(d % 10).astype(str),
+                 "?id=" + pd.Series(d % 10).astype(str)], "")).astype(str)
+            + pd.Series(np.where(d % 6 == 0, "#frag", "")).astype(str))
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization (functions/url.canonicalize_urls): the crawl
+    dedup normalizer — fragment strip, scheme/host lowercase, userinfo and
+    default-port strip, tracking-param removal, trailing-slash strip — run
+    over deterministically dirtied URLs, then per-host raw-vs-canonical
+    counts. The SQL twin replays the exact regex chain in RE2 (every
+    pattern is lookaround-free by contract — url.CANON_POST_STEPS), so a
+    value-hash match proves both regex engines canonicalized every row
+    identically. Map-side (host, canon) partials are catalog-sized
+    (hosts × canonical variants), so the final fold is tiny."""
+    from ..functions import url as urlmod
+    from ..functions.arrowio import pandas_to_arrow_normalizer
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    schema = pa.schema([("host", pa.string()), ("canon", pa.string()),
+                        ("__n", pa.int64())])
+    to_arrow = pandas_to_arrow_normalizer(schema)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        d = df["doc_id"].to_numpy()
+        canon = urlmod.canonicalize_urls(_dirty_urls(d))
+        host = urlmod.parse_urls(canon)["host"]
+        g = pd.DataFrame({"host": host.to_numpy(), "canon": canon.to_numpy()}) \
+            .groupby(["host", "canon"], sort=False).size() \
+            .reset_index(name="__n")
+        g["__n"] = g["__n"].astype("int64")
+        return to_arrow(g)
+
+    part = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    out = part.groupby("host").agg(
+        n_pages=("__n", "sum"), n_canonical=("canon", "nunique")) \
+        .reset_index().sort_values("host").reset_index(drop=True)
+    return out.astype({"n_pages": "int64", "n_canonical": "int64"})
+
+
+SQL_CANONICAL_URLS = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 7 = 0 THEN 'crawler@' ELSE '' END) ||
+    'WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example' ||
+    (CASE WHEN doc_id % 3 = 0
+          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+          ELSE '' END) ||
+    '/p/' || CAST(doc_id % 20 AS VARCHAR) ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 5 IN (0,1)
+          THEN '?utm_source=x&id=' || CAST(doc_id % 10 AS VARCHAR)
+          WHEN doc_id % 5 = 2
+          THEN '?gclid=g&id=' || CAST(doc_id % 10 AS VARCHAR)
+          WHEN doc_id % 5 = 3
+          THEN '?id=' || CAST(doc_id % 10 AS VARCHAR)
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS u0
+  FROM documents
+), nofrag AS (
+  SELECT *, regexp_replace(u0, '#.*$', '') AS u1 FROM raw
+), parts AS (
+  SELECT *, regexp_extract(u1, '^([^:/?#]+)://', 1) AS sch,
+         regexp_extract(u1, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+         regexp_extract(u1, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+  FROM nofrag
+), reb AS (
+  SELECT *, CASE WHEN sch <> '' THEN lower(sch) || '://' ||
+       lower(regexp_replace(auth, '^[^@]*@', '')) || rest ELSE u1 END AS u2
+  FROM parts
+), p1 AS (
+  SELECT *, regexp_replace(u2, '^(http://[^/?#:]*):80([/?]|$)', '\1\2')
+         AS u3 FROM reb
+), p2 AS (
+  SELECT *, regexp_replace(u3, '^(https://[^/?#:]*):443([/?]|$)', '\1\2')
+         AS u4 FROM p1
+), q1 AS (
+  SELECT *, regexp_replace(u4, '\?', '&', 'g') AS u5 FROM p2
+), q2 AS (
+  SELECT *, regexp_replace(u5, '&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*',
+                           '', 'g') AS u6 FROM q1
+), q3 AS (
+  SELECT *, regexp_replace(u6, '&', '?') AS u7 FROM q2
+), fin AS (
+  SELECT doc_id, regexp_replace(u7, '([^:/])/$', '\1') AS canon FROM q3
+)
+SELECT regexp_extract(canon, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT canon) AS n_canonical
+FROM fin GROUP BY host ORDER BY host
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -3430,4 +3542,5 @@ REGISTRY = {
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
+    "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
 }

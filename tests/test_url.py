@@ -65,3 +65,37 @@ class TestParseUrls:
         pd.testing.assert_frame_equal(got, b.astype({
             "n_pages": "int64", "n_hosts": "int64",
             "n_langs": "int64", "sum_chars": "int64"}))
+
+
+class TestCanonicalize:
+    def c(self, u):
+        return urlmod.canonicalize_urls(pd.Series([u]))[0]
+
+    def test_full_mess(self):
+        assert self.c("HTTPS://u:p@WWW.Ex.COM:443/a/b/?utm_source=x&id=3#f") \
+            == "https://www.ex.com/a/b/?id=3"
+
+    def test_only_tracking_params_drop_query_entirely(self):
+        assert self.c("http://h.example/p?utm_a=1&gclid=2") \
+            == "http://h.example/p"
+
+    def test_non_default_port_kept(self):
+        assert self.c("http://h.example:8080/p") == "http://h.example:8080/p"
+        assert self.c("https://h.example:80/p") == "https://h.example:80/p"
+
+    def test_trailing_slash_and_root(self):
+        assert self.c("http://h.example/a/") == "http://h.example/a"
+        # root slash: preceding char is the host's last letter → stripped
+        assert self.c("http://h.example/") == "http://h.example"
+        # '://' double slash never matches ([^:/] guard)
+        assert self.c("http://") == "http://"
+
+    def test_mid_url_params_kept(self):
+        assert self.c("http://h.example/p?id=1&ref=spam&z=2") \
+            == "http://h.example/p?id=1&z=2"
+
+    def test_unparseable_passthrough(self):
+        assert self.c("not a url#frag") == "not a url"
+
+    def test_path_case_preserved(self):
+        assert self.c("HTTP://H.EX/Path/File") == "http://h.ex/Path/File"
