@@ -361,6 +361,50 @@ def running_total(ds: ray.data.Dataset, key: str, order_cols: list[str],
     return grouped_apply(tagged, kernel, nbuckets)
 
 
+def pack_plan(ds: ray.data.Dataset, stream_cols: list[str], order_col: str,
+              tokens_col: str, budget: int, out_col: str = "bin",
+              nbuckets: int = 32) -> ray.data.Dataset:
+    """Sequence-packing planner (concat-and-chunk): within each stream
+    (the ``stream_cols`` tuple), documents are laid end-to-end in
+    ``order_col`` order and chunked into training sequences of ``budget``
+    tokens; each doc gets the bin its FIRST token lands in —
+    ``floor(exclusive_prefix_sum(tokens) / budget)``. This is the
+    deterministic streaming-packing rule (docs spanning a boundary belong
+    to their starting bin), fully vectorizable, and SQL-replayable as a
+    windowed SUM … ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING.
+
+    Packing is inherently sequential per stream, so the partitioning
+    contract is that STREAMS are small (shard your corpus into streams —
+    e.g. (lang, doc_id // shard_size) — before calling; a single global
+    stream would serialize the whole corpus through one task). One
+    key-hash exchange co-locates each stream; everything else is
+    map-side."""
+    from ..stages.temporal import _key_hash, grouped_apply
+
+    def tag(batch: pa.Table) -> pa.Table:
+        parts = [batch[c].cast(pa.string()).to_pandas() for c in stream_cols]
+        stream = parts[0]
+        for p in parts[1:]:
+            stream = stream + ":" + p
+        b = (_key_hash(pa.array(stream)) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__stream", pa.array(stream.to_numpy(),
+                                                        type=pa.string())) \
+            .append_column("__bucket", pa.array(b))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__bucket", "__stream"], errors="ignore")
+        d = df.sort_values(["__stream", order_col], kind="mergesort")
+        cum = d.groupby("__stream", sort=False)[tokens_col].cumsum()
+        excl = cum.to_numpy() - d[tokens_col].to_numpy()
+        d[out_col] = excl // budget
+        return d.drop(columns=["__bucket", "__stream"])
+
+    return grouped_apply(tagged, kernel, nbuckets)
+
+
 # ------------------------------------------------------- inverted index
 
 def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",

@@ -3463,6 +3463,66 @@ FROM fin GROUP BY host ORDER BY host
 """
 
 
+def q_pack_bins(sf_dir: str):
+    """Sequence-packing planner (analytics.pack_plan): docs laid end-to-end
+    per (lang, 10k-doc shard) stream and chunked into 2048-token training
+    sequences; each doc binned by where its first token lands. Aggregated
+    per (lang, shard, bin). Token count = whitespace splits (engine
+    count(' ')+1 ≡ DuckDB array_length(string_split(text,' ')) including
+    empty fields). Distributed end to end: the bin aggregate is a Ray
+    groupby, not a driver fold (bins scale with corpus/2048)."""
+    from . import analytics as anmod
+    from ray.data.aggregate import Max, Min
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = batch["text"].to_pandas()
+        n_tokens = (t.str.count(" ").to_numpy() + 1).astype(np.int64)
+        d = batch["doc_id"].to_numpy()
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "shard": pa.array(d // 10000, type=pa.int64()),
+                         "n_tokens": pa.array(n_tokens)})
+
+    planned = anmod.pack_plan(docs.map_batches(tok, batch_format="pyarrow"),
+                              stream_cols=["lang", "shard"],
+                              order_col="doc_id", tokens_col="n_tokens",
+                              budget=2048)
+    agg = planned.groupby(["lang", "shard", "bin"]).aggregate(
+        Count(), Sum("n_tokens"), Min("doc_id"), Max("doc_id")).to_pandas()
+    agg = agg.rename(columns={"count()": "n_docs",
+                              "sum(n_tokens)": "sum_tokens",
+                              "min(doc_id)": "first_doc",
+                              "max(doc_id)": "last_doc"})
+    agg = agg.sort_values(["lang", "shard", "bin"]).reset_index(drop=True)
+    return agg.astype({"shard": "int64", "bin": "int64", "n_docs": "int64",
+                       "sum_tokens": "int64", "first_doc": "int64",
+                       "last_doc": "int64"})
+
+
+SQL_PACK_BINS = """
+WITH t AS (
+  SELECT doc_id, lang, doc_id // 10000 AS shard,
+         array_length(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_excl
+  FROM t
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(cum_excl // 2048 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin
+"""
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -3543,4 +3603,5 @@ REGISTRY = {
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
+    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
 }

@@ -597,3 +597,44 @@ class TestSkipgram:
             ["tok1", "tok2"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a.astype({"n": "int64"}),
                                       b.astype({"n": "int64"}))
+
+
+class TestPackPlan:
+    def test_matches_brute_packing(self):
+        rng = np.random.default_rng(11)
+        n = 400
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "fr"], n),
+            "n_tokens": rng.integers(1, 50, n).astype(np.int64),
+        })
+        df["shard"] = df["doc_id"] // 100
+        out = an.pack_plan(ray.data.from_pandas(df),
+                           stream_cols=["lang", "shard"],
+                           order_col="doc_id", tokens_col="n_tokens",
+                           budget=64).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        want = df.sort_values(["lang", "shard", "doc_id"]).copy()
+        cum = want.groupby(["lang", "shard"])["n_tokens"].cumsum()
+        want["bin"] = (cum - want["n_tokens"]) // 64
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(out["bin"], want["bin"],
+                                       check_names=False)
+        # every bin's exclusive start is below budget boundary by contract:
+        # first doc of bin b starts at prefix < (b+1)*64
+        g = out.sort_values(["lang", "shard", "doc_id"])
+        cum2 = g.groupby(["lang", "shard"])["n_tokens"].cumsum() \
+            - g["n_tokens"]
+        assert ((cum2 // 64) == g["bin"]).all()
+
+    def test_single_stream_sequential(self):
+        df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                           "g": ["a"] * 4,
+                           "n_tokens": [10, 10, 10, 10]})
+        out = an.pack_plan(ray.data.from_pandas(df), stream_cols=["g"],
+                           order_col="doc_id", tokens_col="n_tokens",
+                           budget=25).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # prefixes 0,10,20,30 → bins 0,0,0,1
+        assert out["bin"].tolist() == [0, 0, 0, 1]
