@@ -454,7 +454,10 @@ def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",
         return range_fold_partials(
             partial, ["token"],
             [("__df", "sum"), ("__tf", "sum"), ("__min", "min")],
-            out_names=["token", "df", "tf", "first_doc"])
+            out_names=["token", "df", "tf", "first_doc"],
+            fallback_schema=pa.schema([
+                ("token", pa.string()), ("__df", pa.int64()),
+                ("__tf", pa.int64()), ("__min", pa.int64())]))
     # driver fold: the data moved is |block vocab| rows per block (Zipf-
     # compressed), and it skips the aggregator-actor startup tax — same
     # regime call as _finalize_partials (dedup.py:474); only for vocabs

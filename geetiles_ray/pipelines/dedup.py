@@ -481,7 +481,8 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
                         aggs: list[tuple[str, str]],
                         nranges: int | None = None,
                         range_by: list[str] | None = None,
-                        out_names: list[str] | None = None
+                        out_names: list[str] | None = None,
+                        fallback_schema: pa.Schema | None = None
                         ) -> ray.data.Dataset:
     """Distributed fold of per-block partial aggregates WITHOUT an
     all-to-all exchange or a driver concat: hash-range split each partial
@@ -512,7 +513,13 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
     ``group_cols + vcols``), applied inside each fold task. Do NOT chain
     ``Dataset.rename_columns`` after this function: Ray's rename skips
     zero-row bundles, so empty ranges would keep the old names and split
-    the dataset's schema (round-4 review)."""
+    the dataset's schema (round-4 review).
+
+    ``fallback_schema``: explicit Arrow types for ``group_cols + vcols``,
+    used only when the input is all-empty AND its blocks don't carry the
+    partial columns (Ray skips map fns on empty blocks, so the blocks can
+    still hold the UPSTREAM schema). Pass it when an empty input is a
+    legal corpus (e.g. a filtered-to-nothing target subset)."""
     import ray
 
     from ..functions.arrowio import dataset_arrow_schema
@@ -531,15 +538,23 @@ def range_fold_partials(partial: ray.data.Dataset, group_cols: list[str],
         # even at 0 rows — read the first one rather than re-executing
         # the plan or falling back to null types.
         import ray as _ray
+        sch = None
         if refs:
             blk = _ray.get(refs[0])
-            if isinstance(blk, pd.DataFrame):
-                sch = pa.Schema.from_pandas(blk[out_cols],
-                                            preserve_index=False)
-            else:
-                sch = blk.select(out_cols).schema
-        else:  # truly zero blocks: types unknowable — last resort
-            sch = pa.schema([(n, pa.null()) for n in out_cols])
+            try:
+                if isinstance(blk, pd.DataFrame):
+                    sch = pa.Schema.from_pandas(blk[out_cols],
+                                                preserve_index=False)
+                else:
+                    sch = blk.select(out_cols).schema
+            except KeyError:
+                # Ray skips running the map fn on empty blocks, so an
+                # all-empty-input partial can still carry the UPSTREAM
+                # schema (e.g. (doc_id, text), no partial columns at all)
+                sch = None
+        if sch is None:
+            sch = fallback_schema or pa.schema(
+                [(n, pa.null()) for n in out_cols])  # last resort
         empty = pa.table({fn: pa.nulls(0, f.type)
                           for fn, f in zip(final_names, sch)})
         return ray.data.from_arrow_refs([_ray.put(empty)])

@@ -3523,6 +3523,66 @@ FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin
 """
 
 
+def q_importance_weights(sf_dir: str):
+    """DSIR importance resampling scores (text.importance_weights): target
+    model = unigram counts of the lang='en' subset, background = the full
+    corpus; per-doc summed add-one-smoothed token log-ratio, selected when
+    the rounded score > 0. Two combiner-shaped model builds + one
+    broadcast scoring map — no exchange beyond the vocab folds."""
+    from . import text as textmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "text"])
+
+    def is_en(batch: pa.Table) -> np.ndarray:
+        return batch["lang"].to_numpy(zero_copy_only=False) == "en"
+
+    out = textmod.importance_weights(docs, target_mask=is_en).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "lang", "n_tokens", "logratio", "selected"]] \
+        .astype({"n_tokens": "int64", "selected": "int64"})
+
+
+def _sql_importance_weights() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, lang, token FROM toks WHERE token <> ''
+), tgt AS (
+  SELECT token, COUNT(*) AS ct FROM t2 WHERE lang = 'en' GROUP BY token
+), tt AS (
+  SELECT COUNT(*) AS t FROM t2 WHERE lang = 'en'
+), bg AS (
+  SELECT token, COUNT(*) AS cb FROM t2 GROUP BY token
+), tb AS (
+  SELECT COUNT(*) AS t FROM t2
+), scored AS (
+  SELECT t2.doc_id,
+         LN((COALESCE(tgt.ct, 0) + 1.0) / ((SELECT t FROM tt) + 1.0))
+       - LN((bg.cb + 1.0) / ((SELECT t FROM tb) + 1.0)) AS lr
+  FROM t2 LEFT JOIN tgt USING (token) JOIN bg USING (token)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n, ROUND(SUM(lr), 6) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, COALESCE(n, 0) AS n_tokens,
+       COALESCE(s, 0.0) AS logratio,
+       CAST(CASE WHEN COALESCE(s, 0.0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_IMPORTANCE_WEIGHTS = _sql_importance_weights()
+
+
 REGISTRY = {
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
@@ -3604,4 +3664,5 @@ REGISTRY = {
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
 }

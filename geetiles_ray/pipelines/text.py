@@ -214,6 +214,78 @@ def unigram_logprob(ds: ray.data.Dataset, id_col: str = "doc_id",
         batch_format="pandas", concurrency=concurrency)
 
 
+class ImportanceScore:
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data Selection
+    for Language Models via Importance Resampling' — public method):
+    a doc's weight is its summed token log-ratio between a TARGET unigram
+    distribution (e.g. the high-quality / in-domain subset) and the
+    BACKGROUND corpus distribution, add-one smoothed. Docs scoring > 0
+    look more target-like than background — the select flag for
+    importance resampling. Stateful stage: both count tables broadcast
+    once, loaded per actor in __init__."""
+
+    def __init__(self, target_ref, target_total: int, bg_ref,
+                 bg_total: int, text_col: str = "text"):
+        import ray
+        self.text_col = text_col
+        self.tgt = ray.get(target_ref)
+        self.tt = float(target_total)
+        self.bg = ray.get(bg_ref)
+        self.tb = float(bg_total)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(df[self.text_col])
+        ct = toks.map(self.tgt).fillna(0).to_numpy(dtype=np.float64)
+        cb = toks.map(self.bg).fillna(0).to_numpy(dtype=np.float64)
+        lr = (np.log((ct + 1.0) / (self.tt + 1.0))
+              - np.log((cb + 1.0) / (self.tb + 1.0)))
+        g = pd.Series(lr).groupby(toks.index.to_numpy())
+        sums = g.sum()
+        ns = g.size()
+        df["n_tokens"] = ns.reindex(df.index, fill_value=0).astype("int64")
+        score = np.round(sums.reindex(df.index, fill_value=0.0)
+                         .to_numpy(), 6)
+        df["logratio"] = score
+        # select on the ROUNDED score so the SQL twin's threshold can
+        # never flip on sub-round-off float noise
+        df["selected"] = (score > 0).astype("int64")
+        return df
+
+
+def importance_weights(ds: ray.data.Dataset, target_mask,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """DSIR importance scoring: build target (rows where
+    ``target_mask(batch) -> bool ndarray`` holds) and background unigram
+    models with token_postings' combiner path, broadcast both once, then
+    one scoring map. Adds n_tokens / logratio (round 6) / selected."""
+    import ray
+
+    from .analytics import token_postings
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(target_mask(batch)))
+
+    def model(post: pd.DataFrame) -> tuple[dict, int]:
+        # empty-corpus guard: Ray's to_pandas() on an all-empty dataset
+        # drops columns entirely — an empty target subset is a legal input
+        if not len(post):
+            return {}, 0
+        return (dict(zip(post.token, post.tf.astype("int64"))),
+                int(post.tf.sum()))
+
+    tgt, tt = model(token_postings(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        id_col, text_col).to_pandas())
+    bg, tb = model(token_postings(ds, id_col, text_col).to_pandas())
+    return ds.map_batches(
+        ImportanceScore,
+        fn_constructor_kwargs=dict(
+            target_ref=ray.put(tgt), target_total=tt,
+            bg_ref=ray.put(bg), bg_total=tb, text_col=text_col),
+        batch_format="pandas", concurrency=concurrency)
+
+
 # --------------------------------------------------- text normalization
 
 # Unicode combining-mark block (diacritics) removed after NFD split —

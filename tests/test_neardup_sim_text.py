@@ -416,6 +416,51 @@ class TestUnigramScore:
         assert got.mean_logprob[1] < got.mean_logprob[0]
 
 
+class TestImportanceWeights:
+    def test_matches_brute(self):
+        import math
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["en", "en", "fr", "fr"],
+            "text": ["cat cat dog", "dog bird", "chien chat", ""],
+        })
+
+        def is_en(batch):
+            return batch["lang"].to_numpy(zero_copy_only=False) == "en"
+
+        got = textmod.importance_weights(ray.data.from_pandas(df),
+                                         target_mask=is_en) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        tgt = {"cat": 2, "dog": 2, "bird": 1}
+        tt = 5
+        bg = {"cat": 2, "dog": 2, "bird": 1, "chien": 1, "chat": 1}
+        tb = 7
+
+        def lr(tok):
+            return (math.log((tgt.get(tok, 0) + 1) / (tt + 1))
+                    - math.log((bg.get(tok, 0) + 1) / (tb + 1)))
+
+        exp = [round(lr("cat") * 2 + lr("dog"), 6),
+               round(lr("dog") + lr("bird"), 6),
+               round(lr("chien") + lr("chat"), 6),
+               0.0]
+        assert got.n_tokens.tolist() == [3, 2, 2, 0]
+        for i in range(4):
+            assert abs(got.logratio[i] - exp[i]) < 1e-9
+        # in-target docs score positive, out-of-target negative
+        assert got.selected.tolist() == [1, 1, 0, 0]
+
+    def test_empty_target_is_all_background(self):
+        df = pd.DataFrame({"doc_id": [0], "lang": ["fr"],
+                           "text": ["un deux"]})
+        got = textmod.importance_weights(
+            ray.data.from_pandas(df),
+            target_mask=lambda b: np.zeros(len(b), dtype=bool)) \
+            .to_pandas()
+        # target model empty: lr = 0 - ln((c+1)/(tb+1)) > 0 for any token
+        assert (got.logratio > 0).all()
+
+
 class TestVideo:
     def test_fake_demux_frame_count_and_sampling(self):
         blob = b"x" * 300  # 300 // 64 = 4 frames; every 2nd -> 0, 2
