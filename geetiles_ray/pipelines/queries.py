@@ -2662,19 +2662,28 @@ def q_pagerank_docs(sf_dir: str):
     return out.astype({"node": "int64", "r": "int64"})
 
 
-def _sql_pagerank(iters: int = 3) -> str:
+def _sql_pagerank(
+    iters: int = 3,
+    nodes_sql: str = "SELECT doc_id AS node FROM documents",
+    n_sql: str = "SELECT COUNT(*) AS n FROM documents",
+    edges_sql: str = (
+        "SELECT doc_id AS src,"
+        " (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst FROM documents"
+        " UNION ALL SELECT doc_id,"
+        " (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents"),
+    final_select: str = "SELECT node, CAST(r AS BIGINT) AS r",
+) -> str:
+    """DuckDB replay of graph.pagerank's integer iteration for ANY
+    (nodes, edges) CTE pair — chained CTEs, one join + group per
+    iteration, the same floor divisions as the engine. ``edges_sql`` may
+    reference ``nn`` (node count) like the default 2-out-regular rule."""
     s = 10 ** 12
     rinit = f"({s} // (SELECT n FROM nn))"
     base = f"(15 * {rinit}) // 100"
     cte = f"""
-WITH nodes AS (SELECT doc_id AS node FROM documents),
-nn AS (SELECT COUNT(*) AS n FROM documents),
-edges AS (
-  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
-  FROM documents
-  UNION ALL
-  SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents
-),
+WITH nodes AS ({nodes_sql}),
+nn AS ({n_sql}),
+edges AS ({edges_sql}),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT node, {rinit} AS r FROM nodes)"""
     for k in range(1, iters + 1):
@@ -2689,8 +2698,7 @@ r{k} AS (
   SELECT n.node, {base} + (85 * COALESCE(c{k}.s, 0)) // 100 AS r
   FROM nodes n LEFT JOIN c{k} USING (node)
 )"""
-    return cte + (f"\nSELECT node, CAST(r AS BIGINT) AS r "
-                  f"FROM r{iters} ORDER BY node")
+    return cte + f"\n{final_select} FROM r{iters} ORDER BY node"
 
 
 SQL_PAGERANK_DOCS = _sql_pagerank()
@@ -3315,6 +3323,60 @@ FROM links GROUP BY dst_host ORDER BY dst_host
 """
 
 
+def q_host_rank(sf_dir: str):
+    """Composed web-graph pipeline: hyperlink extraction → host-level edge
+    table → integer PageRank (pipelines/graph.py) over the 97-host node
+    space. The src host of every edge is the page's own crawl host
+    (doc_id % 97); the dst host comes out of the REAL html parse
+    (functions/links.py extract_links_batch), so a value-hash match proves
+    extraction + graph iteration end-to-end. Node space is dense 0..96 ⇒
+    the broadcast-rank plan (one map pass per iteration, no join) — the
+    plan that holds at 10⁸ hosts × 10¹² links."""
+    from . import graph as graphmod
+    from ..functions import links as linksmod
+
+    n_hosts = linksmod.N_DST_HOSTS
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def build_html(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        htmls = [linksmod.html_with_links(t, int(d))
+                 for t, d in zip(texts, ids)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "html": pa.array(htmls, type=pa.binary())})
+
+    def to_host_ids(batch: pa.Table) -> pa.Table:
+        # 'dst{k}.example' → k, vectorized; src host = doc_id % 97
+        hosts = batch["dst_host"].to_pandas()
+        dst = hosts.str.slice(3, -8).astype("int64").to_numpy()
+        src = batch["doc_id"].to_numpy().astype(np.int64) % n_hosts
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(build_html, batch_format="pyarrow") \
+        .map_batches(linksmod.extract_links_batch, batch_format="pyarrow") \
+        .map_batches(to_host_ids, batch_format="pyarrow")
+
+    out = graphmod.pagerank(edges, n_hosts, iters=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out["host"] = "dst" + out["node"].astype(str) + ".example"
+    return out[["host", "node", "r"]].astype({"node": "int64", "r": "int64"})
+
+
+SQL_HOST_RANK = _sql_pagerank(
+    nodes_sql="SELECT UNNEST(range(97)) AS node",
+    n_sql="SELECT 97 AS n",
+    edges_sql="""SELECT CAST(doc_id % 97 AS BIGINT) AS src,
+       CAST((doc_id * 31 + j * 17 + 7) % 97 AS BIGINT) AS dst
+  FROM (SELECT doc_id, UNNEST(range(CAST(doc_id % 4 AS BIGINT))) AS j
+        FROM documents)""",
+    final_select=("SELECT ('dst' || CAST(node AS VARCHAR) || '.example')"
+                  " AS host, CAST(node AS BIGINT) AS node,"
+                  " CAST(r AS BIGINT) AS r"),
+)
+
+
 def q_event_deltas(sf_dir: str):
     """Per-user inter-arrival deltas (temporal.lag_deltas): the LAG window
     operator — every event labeled with µs since the previous event of the
@@ -3661,6 +3723,7 @@ REGISTRY = {
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
+    "host_rank": (q_host_rank, SQL_HOST_RANK),
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
     "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
     "pack_bins": (q_pack_bins, SQL_PACK_BINS),
