@@ -51,7 +51,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  # round-4 operators
                  "decontaminate", "video_features", "patch_orders",
                  "normalize_text", "model_score", "skipgram_pairs",
-                 "link_graph", "event_deltas", "canonical_urls", "pack_bins", "importance_weights"]
+                 "link_graph", "host_rank", "event_deltas", "canonical_urls",
+                 "pack_bins", "importance_weights"]
 
 
 def host_probe() -> dict:
