@@ -59,6 +59,34 @@ class TestLinks:
         assert out.column_names == ["doc_id", "dst_host"]
 
 
+class TestHostRank:
+    def test_end_to_end_matches_brute_reference(self):
+        # q_host_rank at sf0.001 vs a driver-side brute replay: edges from
+        # the same link rule (src = doc_id % 97, dst per link_targets),
+        # ranks from graph.pagerank_reference — proves the html parse,
+        # host mapping and all 3 integer iterations end-to-end.
+        from geetiles_ray.pipelines import graph as graphmod
+        from geetiles_ray.pipelines.queries import q_host_rank
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = q_host_rank(sf_dir)
+        n = links.N_DST_HOSTS
+        assert list(out["node"]) == list(range(n))
+        assert (out["host"] == "dst" + out["node"].astype(str)
+                + ".example").all()
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+        rows = []
+        for d in docs["doc_id"].to_numpy():
+            for u in links.link_targets(int(d)):
+                host = u.split("//")[1].split("/")[0]
+                rows.append((int(d) % n, int(host[3:].split(".")[0])))
+        edges = pd.DataFrame(rows, columns=["src", "dst"])
+        want = graphmod.pagerank_reference(edges, n, iters=3)
+        assert list(out["r"]) == list(want)
+
+
 class TestLagDeltas:
     def test_matches_pandas_lag(self):
         rng = np.random.default_rng(7)
