@@ -67,21 +67,35 @@ def add_url_columns(ds: ray.data.Dataset, url_col: str = "url",
 #
 # Step order matters and is part of the contract:
 #   1. fragment strip   2. lower(scheme)+lower(host), drop userinfo@
-#   3. default-port strip (http:80 / https:443)   4. '?' → '&' unify
-#   5. tracking params out (utm_*, fbclid, gclid, ref)
-#   6. first '&' back to '?'   7. trailing-slash strip (end of string only)
+#   3. default-port strip (http:80 / https:443)
+#   4. split at the FIRST '?' into base + query — '&' is a legal PATH
+#      character (RFC 3986), so the tracking-param steps must never see
+#      the base or they corrupt 'http://h/a&b' (round-4 advisor finding)
+#   5. on the query substring only: '?' → '&' unify, tracking params out
+#      (utm_*, fbclid, gclid, ref), first '&' back to '?'
+#   6. recombine   7. trailing-slash strip (end of string only)
 _TRACKING_PARAMS = r"(utm_[^=&]*|fbclid|gclid|ref)"
 # (pattern, replacement, first_match_only) — replacement syntax '\1' is
-# shared verbatim by re.sub and DuckDB regexp_replace
-CANON_POST_STEPS: list[tuple[str, str, bool]] = [
+# shared verbatim by re.sub and DuckDB regexp_replace. PORT steps run on
+# the whole URL; QUERY steps run on the '?...' substring only.
+CANON_PORT_STEPS: list[tuple[str, str, bool]] = [
     (r"^(http://[^/?#:]*):80([/?]|$)", r"\1\2", False),
     (r"^(https://[^/?#:]*):443([/?]|$)", r"\1\2", False),
+]
+CANON_QUERY_STEPS: list[tuple[str, str, bool]] = [
     (r"\?", "&", False),
     (r"&" + _TRACKING_PARAMS + r"=[^&]*", "", False),
     (r"&", "?", True),
-    (r"([^:/])/$", r"\1", False),
 ]
+CANON_TRAILING_SLASH: tuple[str, str, bool] = (r"([^:/])/$", r"\1", False)
 _SPLIT_RE = r"^([^:/?#]+)://([^/?#]*)(.*)$"
+_QUERY_SPLIT_RE = r"^([^?]*)(\?.*)?$"
+
+
+def _apply_steps(s: pd.Series, steps) -> pd.Series:
+    for pat, repl, first in steps:
+        s = s.str.replace(pat, repl, n=1 if first else -1, regex=True)
+    return s
 
 
 def canonicalize_urls(urls: pd.Series) -> pd.Series:
@@ -94,9 +108,11 @@ def canonicalize_urls(urls: pd.Series) -> pd.Series:
                + parts[1].str.replace(_USERINFO_RE, "", regex=True).str.lower()
                + parts[2].fillna(""))
     s = rebuilt.where(parts[0].notna(), s)
-    for pat, repl, first in CANON_POST_STEPS:
-        s = s.str.replace(pat, repl, n=1 if first else -1, regex=True)
-    return s
+    s = _apply_steps(s, CANON_PORT_STEPS)
+    qp = s.str.extract(_QUERY_SPLIT_RE)
+    base, qry = qp[0].fillna(""), qp[1].fillna("")
+    s = base + _apply_steps(qry, CANON_QUERY_STEPS)
+    return _apply_steps(s, [CANON_TRAILING_SLASH])
 
 
 def domain_stats(ds: ray.data.Dataset, url_col: str = "url",

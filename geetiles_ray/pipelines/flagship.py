@@ -38,17 +38,57 @@ def build_fixture_tileset(chip_size_meters: float = DEFAULT_CHIP_METERS) -> ray.
     return gridmod.build_grid(fixture_aoi_ring(), chip_size_meters).materialize()
 
 
+# fraction of the raw page bytes that survive the slim projection (url /
+# warc_ts / lang / lon / lat / tile_id / cell_id / text_extracted vs the
+# dropped html + source text payload) — the sizing heuristic cluster mode
+# feeds into manifest.derive_n_partitions. Deliberately conservative
+# (over-estimates → more, smaller partitions; never an OOM-sized one).
+SLIM_BYTES_FRACTION = 0.25
+
+
+def derive_dedup_buckets(pages: ray.data.Dataset) -> int:
+    """Cluster-mode bucket count from INPUT SCALE, not a constant: the
+    manifest sizing rule (state/manifest.derive_n_partitions — ≤1 GiB of
+    slim rows per partition, the map_groups writer's heap contract),
+    floored at the cluster CPU count for write parallelism. Falls back to
+    the CPU floor when the input is too lazy to report bytes."""
+    import ray as _ray
+
+    ncpu = max(1, int(_ray.cluster_resources().get("CPU", 4)))
+    try:
+        est = pages.size_bytes()
+    except Exception:
+        est = None
+    if not est:
+        return ncpu
+    from ..state import manifest as manifestmod
+
+    return manifestmod.derive_n_partitions(
+        int(est * SLIM_BYTES_FRACTION), min_parts=ncpu)
+
+
 def run(
     pages: ray.data.Dataset,
     tiles: ray.data.Dataset | None = None,
     chip_size_meters: float = DEFAULT_CHIP_METERS,
     concurrency: int | tuple = 8,
     batch_size: int = 8192,
-    dedup_buckets: int = 64,
+    dedup_buckets: int | None = None,
     use_actors: bool = False,
     checkpoint_dir: str | None = None,
+    mode: str = "single",
 ):
     """pages(url, warc_ts, html, text, lang) → (assignments, tile_lang_counts).
+
+    ``mode="single"`` (default): in-memory materialize between the map
+    chain and the dedup — the fastest single-node/bench path.
+    ``mode="cluster"``: THE deployment mode for multi-node runs —
+    checkpointed partitioned parquet (durable, kill-and-resume via
+    per-partition manifests) instead of pinning the full slim table in
+    the object store, with ``dedup_buckets`` derived from input bytes by
+    the manifest sizing rule unless given. ``checkpoint_dir`` is required
+    in cluster mode (it must be shared storage all nodes can reach — a
+    default under /tmp would silently be node-local).
 
     assignments: one row per unique url with lon/lat/tile_id/cell_id/
     text_extracted. tile_lang_counts: (tile_id, lang, n_pages) via the
@@ -63,6 +103,17 @@ def run(
     that get transformed twice cost far less than shipping html through the
     shuffle). ``text_extracted`` carries the byte-identical-text invariant
     through the exchange."""
+    if mode not in ("single", "cluster"):
+        raise ValueError(f"mode must be 'single' or 'cluster', got {mode!r}")
+    if mode == "cluster":
+        if checkpoint_dir is None:
+            raise ValueError(
+                "mode='cluster' requires checkpoint_dir (shared storage "
+                "reachable from every node)")
+        if dedup_buckets is None:
+            dedup_buckets = derive_dedup_buckets(pages)
+    elif dedup_buckets is None:
+        dedup_buckets = 64
     if tiles is None:
         tiles = build_fixture_tileset(chip_size_meters)
 

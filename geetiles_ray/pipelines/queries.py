@@ -3441,7 +3441,9 @@ def q_canonical_urls(sf_dir: str):
     default-port strip, tracking-param removal, trailing-slash strip — run
     over deterministically dirtied URLs, then per-host raw-vs-canonical
     counts. The SQL twin replays the exact regex chain in RE2 (every
-    pattern is lookaround-free by contract — url.CANON_POST_STEPS), so a
+    pattern is lookaround-free by contract — url.CANON_PORT_STEPS /
+    CANON_QUERY_STEPS, the latter applied to the query substring only so
+    literal '&' in a path survives), so a
     value-hash match proves both regex engines canonicalized every row
     identically. Map-side (host, canon) partials are catalog-sized
     (hosts × canonical variants), so the final fold is tiny."""
@@ -3508,13 +3510,20 @@ WITH raw AS (
 ), p2 AS (
   SELECT *, regexp_replace(u3, '^(https://[^/?#:]*):443([/?]|$)', '\1\2')
          AS u4 FROM p1
+), sp AS (
+  -- '&' is a legal PATH character: split at the FIRST '?' so the
+  -- tracking-param rewrite only ever touches the query substring
+  -- (mirrors url.CANON_QUERY_STEPS)
+  SELECT *, regexp_extract(u4, '^[^?]*') AS qbase,
+         regexp_extract(u4, '(\?.*)$', 1) AS qq
+  FROM p2
 ), q1 AS (
-  SELECT *, regexp_replace(u4, '\?', '&', 'g') AS u5 FROM p2
+  SELECT *, regexp_replace(qq, '\?', '&', 'g') AS u5 FROM sp
 ), q2 AS (
   SELECT *, regexp_replace(u5, '&(utm_[^=&]*|fbclid|gclid|ref)=[^&]*',
                            '', 'g') AS u6 FROM q1
 ), q3 AS (
-  SELECT *, regexp_replace(u6, '&', '?') AS u7 FROM q2
+  SELECT *, qbase || regexp_replace(u6, '&', '?') AS u7 FROM q2
 ), fin AS (
   SELECT doc_id, regexp_replace(u7, '([^:/])/$', '\1') AS canon FROM q3
 )
@@ -3601,8 +3610,12 @@ def q_importance_weights(sf_dir: str):
 
     out = textmod.importance_weights(docs, target_mask=is_en).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
-    return out[["doc_id", "lang", "n_tokens", "logratio", "selected"]] \
-        .astype({"n_tokens": "int64", "selected": "int64"})
+    # gate on the exact integer logratio_q (not the rounded float): both
+    # engines hold the same int64, so the value hash can never flip on a
+    # ROUND half-boundary
+    return out[["doc_id", "lang", "n_tokens", "logratio_q", "selected"]] \
+        .astype({"n_tokens": "int64", "logratio_q": "int64",
+                 "selected": "int64"})
 
 
 def _sql_importance_weights() -> str:
@@ -3625,17 +3638,23 @@ WITH toks AS (
 ), tb AS (
   SELECT COUNT(*) AS t FROM t2
 ), scored AS (
+  -- per-token log-ratio quantized to the 1e-9 integer grid BEFORE the
+  -- per-doc SUM (ImportanceScore.LR_SCALE): integer sums are
+  -- order-independent, so DuckDB's parallel SUM and pandas groupby-sum
+  -- can never diverge at a ROUND boundary
   SELECT t2.doc_id,
-         LN((COALESCE(tgt.ct, 0) + 1.0) / ((SELECT t FROM tt) + 1.0))
-       - LN((bg.cb + 1.0) / ((SELECT t FROM tb) + 1.0)) AS lr
+         CAST(FLOOR((
+           LN((COALESCE(tgt.ct, 0) + 1.0) / ((SELECT t FROM tt) + 1.0))
+         - LN((bg.cb + 1.0) / ((SELECT t FROM tb) + 1.0))
+         ) * 1000000000.0 + 0.5) AS BIGINT) AS lri
   FROM t2 LEFT JOIN tgt USING (token) JOIN bg USING (token)
 ), agg AS (
-  SELECT doc_id, COUNT(*) AS n, ROUND(SUM(lr), 6) AS s
+  SELECT doc_id, COUNT(*) AS n, SUM(lri) AS si
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id, d.lang, COALESCE(n, 0) AS n_tokens,
-       COALESCE(s, 0.0) AS logratio,
-       CAST(CASE WHEN COALESCE(s, 0.0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+       CAST(COALESCE(si, 0) AS BIGINT) AS logratio_q,
+       CAST(CASE WHEN COALESCE(si, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
          AS selected
 FROM documents d LEFT JOIN agg USING (doc_id)
 ORDER BY d.doc_id
@@ -3645,7 +3664,121 @@ ORDER BY d.doc_id
 SQL_IMPORTANCE_WEIGHTS = _sql_importance_weights()
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer encode (bpe.bpe_token_counts): per-doc whitespace
+    word count and BPE token count under the broadcast exemplar merges
+    table. The merges ride the object store once and load per actor in
+    ``__init__``; each batch encodes only its DISTINCT words (Zipf word
+    cache) — the whole stage is exchange-free. The SQL twin replays the
+    identical rank-order fixed-point encode with a recursive CTE over
+    (rule_idx, state_string) using DuckDB ``replace`` (same leftmost
+    non-overlapping literal-replace semantics as ``str.replace``),
+    so a value-hash match proves both engines produced the canonical
+    BPE segmentation for every distinct word."""
+    from . import bpe as bpemod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = bpemod.bpe_token_counts(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "n_words", "n_bpe_tokens"]] \
+        .astype({"n_words": "int64", "n_bpe_tokens": "int64"})
+
+
+def _sql_bpe_tokens() -> str:
+    from .bpe import MERGES
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    vals = ",\n         ".join(
+        f"({i}, '|{l} |{r} ', '|{l}{r} ')" for i, (l, r) in enumerate(MERGES))
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), merges(idx, pat, repl) AS (
+  VALUES {vals}
+), words AS (
+  SELECT DISTINCT token AS word FROM t2
+), enc AS (
+  -- state string '|t |h |e ' (bpe.bpe_encode_series — the '|' token
+  -- boundary makes literal replace canonical); apply each rule in rank
+  -- order to its leftmost non-overlapping fixed point: advance idx
+  -- only when replace() is a no-op. The final row per word has
+  -- idx = COUNT(merges).
+  SELECT word, 0 AS idx,
+         regexp_replace(word, '(.)', '|\\1 ', 'g') AS st
+  FROM words
+  UNION ALL
+  SELECT e.word,
+         CASE WHEN replace(e.st, m.pat, m.repl) <> e.st
+              THEN e.idx ELSE e.idx + 1 END,
+         replace(e.st, m.pat, m.repl)
+  FROM enc e JOIN merges m ON m.idx = e.idx
+), wc AS (
+  SELECT word,
+         CAST(length(st) - length(replace(st, '|', '')) AS BIGINT)
+           AS n_tok
+  FROM enc WHERE idx = (SELECT COUNT(*) FROM merges)
+), per_doc AS (
+  SELECT t2.doc_id, COUNT(*) AS n, SUM(wc.n_tok) AS nb
+  FROM t2 JOIN wc ON wc.word = t2.token
+  GROUP BY t2.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_BPE_TOKENS = _sql_bpe_tokens()
+
+
+# Registry order is part of the driver contract: the correctness gate
+# samples the FIRST 50 entries. Rounds 1-4 drove the original first 50
+# (page_tile_counts … token_postings — all green in CORRECTNESS_r04);
+# round 5 rotates the 28 queries the driver had never reached
+# (tfidf_terms … importance_weights) into the window, followed by 22 of
+# the already-green ones. Every query keeps pytest + tools/check_oracle
+# coverage regardless of position.
 REGISTRY = {
+    # --- the 28 never-driver-gated queries (registry positions 51-78
+    # in rounds 1-4), now inside the 50-query window ---
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
+    "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "host_cap": (q_host_cap, SQL_HOST_CAP),
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
+    "model_score": (q_model_score, SQL_MODEL_SCORE),
+    "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
+    "hll_users": (q_hll_users, SQL_HLL_USERS),
+    "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
+    "cms_events": (q_cms_events, SQL_CMS_EVENTS),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
+    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
+    "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
+    "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
+    "patch_orders": (q_patch_orders, SQL_PATCH_ORDERS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "link_graph": (q_link_graph, SQL_LINK_GRAPH),
+    "host_rank": (q_host_rank, SQL_HOST_RANK),
+    "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
+    "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
+    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
+    "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
+    # --- round-5 additions land inside the window too ---
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+    # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
     "knn_pages": (q_knn_pages, SQL_KNN_PAGES),
@@ -3700,32 +3833,4 @@ REGISTRY = {
     "sales_rollup": (q_sales_rollup, SQL_SALES_ROLLUP),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "token_postings": (q_token_postings, SQL_TOKEN_POSTINGS),
-    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
-    "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
-    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "orders_join_bloom": (q_orders_join_bloom, SQL_ORDERS_JOIN_BLOOM),
-    "events_zscore": (q_events_zscore, SQL_EVENTS_ZSCORE),
-    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
-    "host_cap": (q_host_cap, SQL_HOST_CAP),
-    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-    "video_features": (q_video_features, SQL_VIDEO_FEATURES),
-    "model_score": (q_model_score, SQL_MODEL_SCORE),
-    "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
-    "hll_users": (q_hll_users, SQL_HLL_USERS),
-    "events_outliers": (q_events_outliers, SQL_EVENTS_OUTLIERS),
-    "cms_events": (q_cms_events, SQL_CMS_EVENTS),
-    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
-    "pmi_pairs": (q_pmi_pairs, SQL_PMI_PAIRS),
-    "skipgram_pairs": (q_skipgram_pairs, SQL_SKIPGRAM_PAIRS),
-    "tile_top_tokens": (q_tile_top_tokens, SQL_TILE_TOP_TOKENS),
-    "upsert_orders": (q_upsert_orders, SQL_UPSERT_ORDERS),
-    "patch_orders": (q_patch_orders, SQL_PATCH_ORDERS),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
-    "link_graph": (q_link_graph, SQL_LINK_GRAPH),
-    "host_rank": (q_host_rank, SQL_HOST_RANK),
-    "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
-    "canonical_urls": (q_canonical_urls, SQL_CANONICAL_URLS),
-    "pack_bins": (q_pack_bins, SQL_PACK_BINS),
-    "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
 }

@@ -215,9 +215,13 @@ def linear_score(ds: ray.data.Dataset, weights: np.ndarray,
     scorer (quality classifier, reranker, reward model) runs on; only the
     stub model is linear.
 
-    The weight vector is int-quantized and ``ray.put`` once; each actor
-    ray.gets it in ``__init__`` (never per batch). Scores are an EXACT
-    int64 dot product over floor-quantized embeddings (the kmeans
+    The weight vector must already be INTEGER-VALUED (a learned float
+    head must be quantized by the caller, e.g.
+    ``np.floor(w * q_scale + 0.5)`` — silently truncating natural
+    |w| < 1 floats would produce an all-zero scorer, round-4 advisor
+    finding; non-integral floats raise). It is ``ray.put`` once; each
+    actor ray.gets it in ``__init__`` (never per batch). Scores are an
+    EXACT int64 dot product over floor-quantized embeddings (the kmeans
     Q_SCALE discipline), so score_q is hashable against HUGEINT SQL and
     score = score_q / q_scale² is a dyadic-exact float64 on both engines.
 
@@ -230,7 +234,15 @@ def linear_score(ds: ray.data.Dataset, weights: np.ndarray,
         # scoring is the throughput stage of a curation pipeline
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         concurrency = (2, max(2, ncpu // 2))
-    wq = np.asarray(weights, dtype=np.int64)
+    w = np.asarray(weights)
+    if not np.issubdtype(w.dtype, np.integer):
+        if not np.array_equal(w, np.rint(w)):
+            raise ValueError(
+                "linear_score weights must be integer-valued; quantize a "
+                "learned float head explicitly, e.g. "
+                "np.floor(w * q_scale + 0.5).astype(np.int64)")
+        w = np.rint(w)
+    wq = w.astype(np.int64)
     w_ref = ray.put(wq)
 
     class Scorer:

@@ -233,32 +233,49 @@ class ImportanceScore:
         self.bg = ray.get(bg_ref)
         self.tb = float(bg_total)
 
+    # per-token log-ratios are quantized to this integer grid BEFORE the
+    # per-doc sum, so the fold is order-independent: pandas groupby-sum
+    # and DuckDB's parallel SUM disagree on float summation order, and a
+    # doc landing within float error of a ROUND(...,6) boundary would
+    # otherwise flip logratio/selected between engines (round-4 advisor
+    # finding). Same Q_SCALE discipline as model_score.
+    LR_SCALE = 1_000_000_000.0
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         toks = tokenize(df[self.text_col])
         ct = toks.map(self.tgt).fillna(0).to_numpy(dtype=np.float64)
         cb = toks.map(self.bg).fillna(0).to_numpy(dtype=np.float64)
         lr = (np.log((ct + 1.0) / (self.tt + 1.0))
               - np.log((cb + 1.0) / (self.tb + 1.0)))
-        g = pd.Series(lr).groupby(toks.index.to_numpy())
+        lri = np.floor(lr * self.LR_SCALE + 0.5).astype(np.int64)
+        g = pd.Series(lri).groupby(toks.index.to_numpy())
         sums = g.sum()
         ns = g.size()
         df["n_tokens"] = ns.reindex(df.index, fill_value=0).astype("int64")
-        score = np.round(sums.reindex(df.index, fill_value=0.0)
-                         .to_numpy(), 6)
-        df["logratio"] = score
-        # select on the ROUNDED score so the SQL twin's threshold can
-        # never flip on sub-round-off float noise
-        df["selected"] = (score > 0).astype("int64")
+        si = sums.reindex(df.index, fill_value=0).astype("int64").to_numpy()
+        df["logratio_q"] = si  # exact int64 — the hashable twin column
+        df["logratio"] = np.round(si / self.LR_SCALE, 6)
+        # select on the EXACT integer sum — both engines hold the same
+        # int64, so the threshold can never flip on float noise
+        df["selected"] = (si > 0).astype("int64")
         return df
 
 
 def importance_weights(ds: ray.data.Dataset, target_mask,
                        id_col: str = "doc_id", text_col: str = "text",
-                       concurrency: int | tuple = 2) -> ray.data.Dataset:
+                       concurrency: int | tuple = 2,
+                       postings: ray.data.Dataset | None = None
+                       ) -> ray.data.Dataset:
     """DSIR importance scoring: build target (rows where
     ``target_mask(batch) -> bool ndarray`` holds) and background unigram
     models with token_postings' combiner path, broadcast both once, then
-    one scoring map. Adds n_tokens / logratio (round 6) / selected."""
+    one scoring map. Adds n_tokens / logratio (round 6) / selected.
+
+    Pass ``postings`` (a token_postings-shaped table over the SAME ``ds``
+    with the SAME tokenizer — pmi_pairs' reuse contract, analytics.py) to
+    reuse the BACKGROUND unigram model a composed curation pipeline
+    already built (tfidf / unigram_logprob / pmi all need it): the
+    background corpus scan is then skipped entirely."""
     import ray
 
     from .analytics import token_postings
@@ -277,7 +294,15 @@ def importance_weights(ds: ray.data.Dataset, target_mask,
     tgt, tt = model(token_postings(
         ds.map_batches(keep, batch_format="pyarrow"),
         id_col, text_col).to_pandas())
-    bg, tb = model(token_postings(ds, id_col, text_col).to_pandas())
+    if postings is not None:
+        names = set(postings.schema().names)
+        if not {"token", "tf"} <= names:
+            raise ValueError(
+                "postings must be a token_postings-shaped table with "
+                f"'token' and 'tf' columns (got {sorted(names)})")
+        bg, tb = model(postings.to_pandas())
+    else:
+        bg, tb = model(token_postings(ds, id_col, text_col).to_pandas())
     return ds.map_batches(
         ImportanceScore,
         fn_constructor_kwargs=dict(

@@ -431,9 +431,14 @@ def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
     shuffle at high selectivity."""
     from .temporal import _key_hash
 
+    from ..functions.arrowio import pa_type
+
     bloom_ref = key_bloom(right, key, nbits, nhashes)
     rcols = right_cols or [c for c in right.schema().names if c != key]
-    r_schema = dict(zip(right.schema().names, right.schema().types))
+    # normalize through pa_type: a pandas-block side reports numpy dtypes,
+    # which pa.schema/pa.nulls reject (round-4 advisor finding)
+    r_schema = {n: pa_type(t) for n, t in
+                zip(right.schema().names, right.schema().types)}
 
     def split(want_hit: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -462,7 +467,8 @@ def join_on_identifier_bloom(left: ray.data.Dataset, right: ray.data.Dataset,
     # the merged path to Arrow under ONE explicit schema (an all-null
     # batch would otherwise infer pa.null and diverge from the bypass).
     from ..functions.arrowio import pandas_to_arrow_normalizer
-    l_schema = dict(zip(left.schema().names, left.schema().types))
+    l_schema = {n: pa_type(t) for n, t in
+                zip(left.schema().names, left.schema().types)}
     target = pa.schema([(n, l_schema.get(n) or r_schema[n])
                         for n in out_names])
     joined = joined.map_batches(pandas_to_arrow_normalizer(target),

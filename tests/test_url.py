@@ -94,6 +94,15 @@ class TestCanonicalize:
         assert self.c("http://h.example/p?id=1&ref=spam&z=2") \
             == "http://h.example/p?id=1&z=2"
 
+    def test_ampersand_in_path_preserved(self):
+        # '&' is a legal path char (RFC 3986) — the tracking-param chain
+        # must only rewrite the query substring (round-4 advisor finding)
+        assert self.c("http://h.example/a&b") == "http://h.example/a&b"
+        assert self.c("http://h.example/a&b?id=1") \
+            == "http://h.example/a&b?id=1"
+        assert self.c("http://h.example/a&b?utm_a=1&id=2") \
+            == "http://h.example/a&b?id=2"
+
     def test_unparseable_passthrough(self):
         assert self.c("not a url#frag") == "not a url"
 
