@@ -329,6 +329,14 @@ def cmd_ingest(a):
     assigned = assignmod.assign_pages(extracted, tiles, use_actors=False)
     slim = assigned.drop_columns(["html", "text"])
     deduped = dedupmod.dedup_exact(slim, key="url", order_col="warc_ts")
+    if a.prior_dirs:
+        from .pipelines import snapshots as snapmod
+
+        # dedup_exact is content-deterministic (keep-first by order_col,
+        # stable sort), which satisfies the Bloom split's deterministic-
+        # rescan contract without pinning the table in the object store
+        deduped = snapmod.dedup_against_snapshots(
+            deduped, [d for d in a.prior_dirs.split(",") if d], key="url")
     res = manifestmod.checkpointed_write(
         deduped, a.dest_dir, key_col="url",
         n_partitions=a.n_partitions or None)
@@ -450,6 +458,11 @@ def main(argv=None):
     ing.add_argument("--dest_dir", required=True)
     ing.add_argument("--n_partitions", type=int, default=0,
                  help="0 = derive from input size (~1 GB/partition)")
+    ing.add_argument("--prior_dirs", default=None,
+                     help="comma-separated dest_dirs of PRIOR snapshot "
+                          "ingests: urls already in their checkpointed "
+                          "output are dropped (incremental cross-snapshot "
+                          "dedup) without rescanning their payloads")
     ing.set_defaults(fn=cmd_ingest)
 
     a = p.parse_args(argv)

@@ -158,6 +158,53 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot incremental dedup (pipelines/snapshots.py — the
+    reference's skip_if_exists resume, gee.py:267-274, at corpus scale):
+    'snapshot 1' (docs with doc_id % 3 = 0) is ingested to a checkpointed
+    dir; the 'new crawl' (doc_id % 2 = 0) then drops every key already in
+    snapshot 1's durable record WITHOUT rescanning its payloads — Bloom
+    bypass for provably-new keys, co-bucketed exact verify for hits.
+    nbits=256 deliberately saturates the filter so the oracle exercises
+    the exact-verify path, not just the bypass."""
+    import shutil
+    import tempfile
+
+    from . import snapshots as snapmod
+    from ..state import manifest as manifestmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def mod_mask(m: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            return batch.filter(pa.array(ids % m == 0))
+        return f
+
+    prior_dir = tempfile.mkdtemp(prefix="incr_dedup_", dir="/tmp")
+    try:
+        snap1 = docs.map_batches(mod_mask(3), batch_format="pyarrow")
+        manifestmod.checkpointed_write(snap1, prior_dir, key_col="doc_id",
+                                       n_partitions=4)
+        snap2 = docs.map_batches(mod_mask(2), batch_format="pyarrow")
+        out = snapmod.dedup_against_snapshots(
+            snap2, [prior_dir], key="doc_id", nbits=256, nbuckets=8)
+        # materialize before the prior dir is removed — the verify path
+        # reads the prior keys lazily from it
+        return out.sort("doc_id").materialize()
+    finally:
+        shutil.rmtree(prior_dir, ignore_errors=True)
+
+
+SQL_INCREMENTAL_DEDUP = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_events(sf_dir: str):
     """Exact dedup: first event per (user_id, event_type) by (ts, event_id)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
@@ -3778,6 +3825,7 @@ REGISTRY = {
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     # --- round-5 additions land inside the window too ---
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
