@@ -52,7 +52,9 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "decontaminate", "video_features", "patch_orders",
                  "normalize_text", "model_score", "skipgram_pairs",
                  "link_graph", "host_rank", "event_deltas", "canonical_urls",
-                 "pack_bins", "importance_weights"]
+                 "pack_bins", "importance_weights",
+                 # round-5 operators
+                 "bpe_tokens", "incremental_dedup"]
 
 
 def host_probe() -> dict:
