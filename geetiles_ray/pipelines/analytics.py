@@ -406,6 +406,89 @@ def pack_plan(ds: ray.data.Dataset, stream_cols: list[str], order_col: str,
     return grouped_apply(tagged, kernel, nbuckets)
 
 
+def _string_byte_layout(arr):
+    """(offsets[int64, n+1], data[uint8]) view of an Arrow string column.
+
+    Zero-copy: reads the array's offset and data buffers directly (both
+    ``string`` and ``large_string``), honouring a non-zero array offset.
+    Null slots read as empty strings (their offsets are equal)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return off, data
+
+
+def chunk_plan(ds: ray.data.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", window: int = 64, stride: int = 48,
+               keep_cols: tuple = ()) -> ray.data.Dataset:
+    """Context-window chunking planner: split each document into
+    fixed-size token windows (``window`` whitespace tokens, step
+    ``stride`` — overlapping when stride < window), the standard
+    pretraining / RAG prep op. Emits one row per chunk with its exact
+    token span AND byte span, without materializing a single chunk
+    string: token boundaries are the byte positions of ``' '`` (0x20
+    never occurs inside a UTF-8 multibyte sequence), read zero-copy from
+    the Arrow string buffers and resolved per chunk with vectorized
+    searchsorted/cumsum index arithmetic. Pure map-side flat expansion —
+    no exchange, no per-row Python — so it scales embarrassingly; a
+    downstream writer slices ``data[start_byte:start_byte+n_bytes]``.
+
+    Chunk count per doc is ``1 + ceil(max(n_tokens - window, 0) /
+    stride)`` (tail chunks shorter than ``window`` are kept), matching
+    the SQL replay ``unnest(range(0, n_chunks))`` + ``list_slice``.
+    Tokens follow the repo's whitespace convention (empty fields kept,
+    ``''`` is one empty token)."""
+    if not (1 <= stride <= window):
+        raise ValueError("need 1 <= stride <= window")
+    w, st = np.int64(window), np.int64(stride)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(id_col, batch.schema.field(id_col).type)]
+            + [(c, batch.schema.field(c).type) for c in keep_cols]
+            + [("chunk_id", pa.int64()), ("start_tok", pa.int64()),
+               ("n_chunk_tokens", pa.int64()), ("start_byte", pa.int64()),
+               ("n_chunk_bytes", pa.int64())])
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        off, data = _string_byte_layout(batch[text_col])
+        space = np.flatnonzero(data[off[0]:off[-1]] == 32) + off[0]
+        sp_lo = np.searchsorted(space, off[:-1])
+        ntok = (np.searchsorted(space, off[1:]) - sp_lo + 1).astype(np.int64)
+        nch = (np.maximum(ntok - w, 0) + st - 1) // st + 1
+        tot = int(nch.sum())
+        d = np.repeat(np.arange(n, dtype=np.int64), nch)
+        first = np.concatenate(([0], np.cumsum(nch)[:-1]))
+        cid = np.arange(tot, dtype=np.int64) - np.repeat(first, nch)
+        s = cid * st
+        ln = np.minimum(w, ntok[d] - s)
+        start_byte = off[:-1][d].copy()
+        m = s > 0
+        start_byte[m] = space[sp_lo[d][m] + s[m] - 1] + 1
+        end_byte = off[1:][d].copy()
+        e = s + ln
+        m = e < ntok[d]
+        end_byte[m] = space[sp_lo[d][m] + e[m] - 1]
+        cols = {id_col: batch[id_col].take(pa.array(d))}
+        for c in keep_cols:
+            cols[c] = batch[c].take(pa.array(d))
+        cols.update(chunk_id=pa.array(cid), start_tok=pa.array(s),
+                    n_chunk_tokens=pa.array(ln),
+                    start_byte=pa.array(start_byte - off[:-1][d]),
+                    n_chunk_bytes=pa.array(end_byte - start_byte))
+        return pa.table(cols, schema=out_schema)
+
+    cols = [id_col, text_col, *keep_cols]
+    return ds.select_columns(cols).map_batches(
+        chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------- inverted index
 
 def token_postings(ds: ray.data.Dataset, id_col: str = "doc_id",

@@ -638,3 +638,69 @@ class TestPackPlan:
             .sort_values("doc_id").reset_index(drop=True)
         # prefixes 0,10,20,30 → bins 0,0,0,1
         assert out["bin"].tolist() == [0, 0, 0, 1]
+
+
+class TestChunkPlan:
+    def _brute(self, texts, window, stride):
+        rows = []
+        for i, txt in enumerate(texts):
+            toks = txt.split(" ")
+            nt = len(toks)
+            nch = 1 + max(0, -(-(max(nt - window, 0)) // stride))
+            for c in range(nch):
+                s = c * stride
+                ln = min(window, nt - s)
+                chunk = " ".join(toks[s:s + ln])
+                prefix = " ".join(toks[:s])
+                start_b = 0 if s == 0 else len(prefix.encode()) + 1
+                rows.append((i, c, s, ln, start_b, len(chunk.encode())))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "chunk_id", "start_tok", "n_chunk_tokens",
+            "start_byte", "n_chunk_bytes"])
+
+    def test_matches_brute_including_utf8_and_empties(self):
+        rng = np.random.default_rng(7)
+        vocab = ["a", "bb", "héllo", "wörld", "açaí", "", "xyz", "q"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 40)))
+                 for _ in range(300)] + ["", " ", "  ", "single",
+                                         "ends with space "]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        out = an.chunk_plan(ray.data.from_pandas(df), window=7,
+                            stride=5).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        want = self._brute(texts, 7, 5)
+        pd.testing.assert_frame_equal(
+            out.astype("int64"), want.astype("int64"))
+        # byte spans really address the chunk: re-slice and compare
+        for _, r in out.sample(50, random_state=1).iterrows():
+            doc = texts[r.doc_id].encode()
+            got = doc[r.start_byte: r.start_byte + r.n_chunk_bytes].decode()
+            toks = texts[r.doc_id].split(" ")
+            assert got == " ".join(
+                toks[r.start_tok: r.start_tok + r.n_chunk_tokens])
+
+    def test_nonoverlapping_and_exact_multiples(self):
+        texts = [" ".join(["t"] * n) for n in (1, 4, 8, 12, 16, 17)]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        out = an.chunk_plan(ray.data.from_pandas(df), window=4,
+                            stride=4).to_pandas()
+        want = self._brute(texts, 4, 4)
+        pd.testing.assert_frame_equal(
+            out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+            .astype("int64"), want.astype("int64"))
+        # stride==window tiles exactly: token coverage partitions each doc
+        for i, n in enumerate((1, 4, 8, 12, 16, 17)):
+            g = out[out.doc_id == i]
+            assert g.n_chunk_tokens.sum() == n
+
+    def test_keep_cols_and_stride_guard(self):
+        df = pd.DataFrame({"doc_id": [0, 1], "lang": ["en", "fr"],
+                           "text": ["a b c", "d"]})
+        out = an.chunk_plan(ray.data.from_pandas(df), window=2, stride=1,
+                            keep_cols=("lang",)).to_pandas()
+        assert set(out[out.doc_id == 0].lang) == {"en"}
+        assert set(out[out.doc_id == 1].lang) == {"fr"}
+        with pytest.raises(ValueError):
+            an.chunk_plan(ray.data.from_pandas(df), window=4, stride=5)
