@@ -3900,6 +3900,89 @@ FROM x ORDER BY doc_id, chunk_id
 """
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (functions/pii.redact_pii): documents deterministically
+    dirtied with doc_id-derived emails / phone numbers / IPv4 addresses,
+    then masked by the ordered lookaround-free regex chain (PII_STEPS —
+    no zero-width assertions either: ``\\b`` classifies word chars by
+    Unicode in Python re but ASCII in RE2, so it is banned from the
+    contract). Returns per-doc mask counts + redacted char length; the
+    SQL twin replays the exact chain in RE2, so a value-hash match
+    proves both regex engines masked every row identically. Pure
+    map-side — no exchange."""
+    from ..functions import pii as piimod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_pandas()
+        t2 = (batch["text"].to_pandas()
+              + " contact user" + d.astype(str)
+              + "@mail" + (d % 7).astype(str)
+              + ".example or +1-" + (100 + d % 900).astype(str)
+              + "-555-" + (1000 + d % 9000).astype(str)
+              + " from " + (d % 256).astype(str)
+              + "." + ((d * 7) % 256).astype(str)
+              + ".0." + ((d * 13) % 256).astype(str))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(t2.to_numpy(dtype=object),
+                                          type=pa.string())})
+
+    red = piimod.redact_pii(docs.map_batches(dirty, batch_format="pyarrow"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.utf8_length(batch["text"]).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_email": batch["n_email"],
+                         "n_phone": batch["n_phone"],
+                         "n_ipv4": batch["n_ipv4"],
+                         "n_redacted_chars": n})
+
+    out = red.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns if c != "doc_id"} | {
+            "doc_id": "int64"})
+
+
+def _sql_redact_pii() -> str:
+    """The twin replays PII_STEPS in order, counting each pattern on the
+    chain's intermediate text exactly as redact_pii_series does."""
+    from ..functions.pii import PII_STEPS
+
+    sql = ["WITH s0 AS (",
+           "  SELECT doc_id,",
+           "    text || ' contact user' || CAST(doc_id AS VARCHAR)",
+           "      || '@mail' || CAST(doc_id % 7 AS VARCHAR)",
+           "      || '.example or +1-' "
+           "|| CAST(100 + doc_id % 900 AS VARCHAR)",
+           "      || '-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)",
+           "      || ' from ' || CAST(doc_id % 256 AS VARCHAR)",
+           "      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)",
+           "      || '.0.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS t0",
+           "  FROM documents",
+           ")"]
+    for i, (kind, pat, repl) in enumerate(PII_STEPS):
+        sql.append(
+            f", s{i + 1} AS (\n"
+            f"  SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT) "
+            f"AS n_{kind},\n"
+            + "".join(f"    n_{k}," for k, _, _ in PII_STEPS[:i]) + "\n"
+            f"    regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}\n"
+            f"  FROM s{i}\n)")
+    last = len(PII_STEPS)
+    names = ", ".join(f"n_{k}" for k, _, _ in PII_STEPS)
+    sql.append(f"SELECT doc_id, {names}, "
+               f"CAST(length(t{last}) AS BIGINT) AS n_redacted_chars\n"
+               f"FROM s{last} ORDER BY doc_id")
+    return "\n".join(sql)
+
+
+SQL_REDACT_PII = _sql_redact_pii()
+
+
 # Registry order is part of the driver contract: the correctness gate
 # samples the FIRST 50 entries. Rounds 1-4 drove the original first 50
 # (page_tile_counts … token_postings — all green in CORRECTNESS_r04);
@@ -3943,6 +4026,7 @@ REGISTRY = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "bpe_pack_bins": (q_bpe_pack_bins, SQL_BPE_PACK_BINS),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
