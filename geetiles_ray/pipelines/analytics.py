@@ -406,6 +406,79 @@ def pack_plan(ds: ray.data.Dataset, stream_cols: list[str], order_col: str,
     return grouped_apply(tagged, kernel, nbuckets)
 
 
+def shard_plan(ds: ray.data.Dataset, key_col: str, shard_size: int,
+               nranges: int = 256) -> ray.data.Dataset:
+    """Deterministic global shuffle-and-shard planner: the training shard
+    writer's ordering step. Rows are totally ordered by the bijective
+    hash ``(key+1)·MIX mod 2⁶⁴`` (odd multiplier ⇒ unique per key — a
+    seeded full shuffle with no RNG state and no ties) and packed into
+    fixed-size output shards: ``shard = rn // shard_size``,
+    ``pos = rn % shard_size`` where ``rn`` is the exact global row
+    number in hash order. SQL twin: ``ROW_NUMBER() OVER (ORDER BY h)``.
+
+    The exact global rn is computed WITHOUT a global sort or driver
+    materialization, with the classic two-pass range plan:
+
+    1. bucket every row by the hash's high bits (``nranges`` ordered
+       ranges — high bits ⇒ bucket order IS hash order), count rows per
+       bucket with a map-side combiner + tiny groupby (≤ nranges rows);
+    2. prefix-sum those counts on the driver (nranges ints), broadcast
+       the offsets in the kernel closure, and assign
+       ``rn = offset[bucket] + rank_within_bucket`` after one co-bucket
+       exchange (stages/temporal.grouped_apply), sorting each bucket
+       locally by ``h``.
+
+    Scales as: one exchange of the slim (key, h) table + an nranges-row
+    aggregate; no stage ever sees more than one bucket's rows. ``ds``
+    is scanned twice — pass a column-pruned or materialized slim table
+    when the upstream is expensive. ``key_col`` must be integer-valued
+    and unique (doc ids); hash strings to int upstream
+    (functions/hashing)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.temporal import grouped_apply
+    if not (nranges >= 2 and (nranges & (nranges - 1)) == 0):
+        raise ValueError("nranges must be a power of two >= 2")
+    shift = np.uint64(64 - int(nranges).bit_length() + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.uint64)
+        h = (k + np.uint64(1)) * np.uint64(_MIX)
+        return pa.table({key_col: batch[key_col],
+                         "__h": pa.array(h, type=pa.uint64()),
+                         "__bucket": pa.array(
+                             (h >> shift).astype(np.int64))})
+
+    slim = ds.select_columns([key_col])
+    tagged = slim.map_batches(tag, batch_format="pyarrow")
+
+    def count(batch: pa.Table) -> pa.Table:
+        b, n = np.unique(batch["__bucket"].to_numpy(), return_counts=True)
+        return pa.table({"__bucket": pa.array(b),
+                         "n": pa.array(n.astype(np.int64))})
+
+    counts = tagged.map_batches(count, batch_format="pyarrow") \
+        .groupby("__bucket").aggregate(Sum("n")).to_pandas() \
+        .sort_values("__bucket")
+    cum = counts["sum(n)"].to_numpy().cumsum()
+    offsets = dict(zip(counts["__bucket"].to_numpy(),
+                       np.concatenate(([0], cum[:-1])).astype(np.int64)))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "shard": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        d = df.sort_values(["__bucket", "__h"], kind="mergesort")
+        rank = d.groupby("__bucket", sort=False).cumcount().to_numpy()
+        rn = d["__bucket"].map(offsets).to_numpy() + rank
+        return pd.DataFrame({key_col: d[key_col].to_numpy(),
+                             "shard": (rn // shard_size).astype(np.int64),
+                             "pos": (rn % shard_size).astype(np.int64)})
+
+    return grouped_apply(tagged, kernel, nranges)
+
+
 def _string_byte_layout(arr):
     """(offsets[int64, n+1], data[uint8]) view of an Arrow string column.
 

@@ -3983,6 +3983,39 @@ def _sql_redact_pii() -> str:
 SQL_REDACT_PII = _sql_redact_pii()
 
 
+def q_shard_plan(sf_dir: str):
+    """Global shuffle-and-shard planner (analytics.shard_plan): every doc
+    totally ordered by the bijective hash (doc_id+1)·MIX mod 2⁶⁴ (a
+    seeded tie-free full shuffle) and packed into 64-row training
+    shards. The engine derives the exact global row number with the
+    two-pass range plan (high-bit bucket counts → broadcast prefix
+    offsets → one co-bucket exchange — no global sort); the SQL twin is
+    the naive ROW_NUMBER() OVER (ORDER BY h), so a value-hash match
+    proves the distributed plan reproduces the global window exactly."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    out = anmod.shard_plan(docs, key_col="doc_id", shard_size=64) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "shard": "int64", "pos": "int64"})
+
+
+SQL_SHARD_PLAN = f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT)
+           & {(1 << 64) - 1}::HUGEINT AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hv) - 1 AS rn FROM h
+)
+SELECT doc_id, CAST(rn // 64 AS BIGINT) AS shard,
+       CAST(rn % 64 AS BIGINT) AS pos
+FROM r ORDER BY doc_id
+"""
+
+
 # Registry order is part of the driver contract: the correctness gate
 # samples the FIRST 50 entries. Rounds 1-4 drove the original first 50
 # (page_tile_counts … token_postings — all green in CORRECTNESS_r04);
@@ -4027,6 +4060,7 @@ REGISTRY = {
     "bpe_pack_bins": (q_bpe_pack_bins, SQL_BPE_PACK_BINS),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -704,3 +704,36 @@ class TestChunkPlan:
         assert set(out[out.doc_id == 1].lang) == {"fr"}
         with pytest.raises(ValueError):
             an.chunk_plan(ray.data.from_pandas(df), window=4, stride=5)
+
+
+class TestShardPlan:
+    def test_matches_global_row_number(self):
+        rng = np.random.default_rng(3)
+        ids = rng.permutation(2000).astype(np.int64)  # unordered, unique
+        df = pd.DataFrame({"doc_id": ids})
+        out = an.shard_plan(ray.data.from_pandas(df), key_col="doc_id",
+                            shard_size=100, nranges=16).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        h = (ids.astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        want = pd.DataFrame({"doc_id": ids, "h": h}).sort_values("h")
+        want["rn"] = np.arange(len(want))
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert (out["shard"].to_numpy() == want["rn"] // 100).all()
+        assert (out["pos"].to_numpy() == want["rn"] % 100).all()
+        # exact packing: every shard except the last is full
+        sizes = out.groupby("shard").size()
+        assert (sizes.iloc[:-1] == 100).all() if len(sizes) > 1 else True
+        assert sizes.sum() == 2000
+
+    def test_nranges_invariance_and_guard(self):
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+        a = an.shard_plan(ray.data.from_pandas(df), "doc_id", 64,
+                          nranges=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = an.shard_plan(ray.data.from_pandas(df), "doc_id", 64,
+                          nranges=64).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        with pytest.raises(ValueError):
+            an.shard_plan(ray.data.from_pandas(df), "doc_id", 64, nranges=3)
