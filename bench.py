@@ -54,7 +54,8 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  "link_graph", "host_rank", "event_deltas", "canonical_urls",
                  "pack_bins", "importance_weights",
                  # round-5 operators
-                 "bpe_tokens", "incremental_dedup", "chunk_docs", "redact_pii", "shard_plan"]
+                 "bpe_tokens", "incremental_dedup", "chunk_docs",
+                 "redact_pii", "shard_plan", "curation_shards"]
 
 
 def host_probe() -> dict:

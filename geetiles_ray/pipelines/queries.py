@@ -3900,6 +3900,23 @@ FROM x ORDER BY doc_id, chunk_id
 """
 
 
+def _pii_dirty_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic doc_id-derived PII injection (email + phone + IPv4
+    per doc) — the engine half of the SQL twin's s0 CTE."""
+    d = batch["doc_id"].to_pandas()
+    t2 = (batch["text"].to_pandas()
+          + " contact user" + d.astype(str)
+          + "@mail" + (d % 7).astype(str)
+          + ".example or +1-" + (100 + d % 900).astype(str)
+          + "-555-" + (1000 + d % 9000).astype(str)
+          + " from " + (d % 256).astype(str)
+          + "." + ((d * 7) % 256).astype(str)
+          + ".0." + ((d * 13) % 256).astype(str))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pa.array(t2.to_numpy(dtype=object),
+                                      type=pa.string())})
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (functions/pii.redact_pii): documents deterministically
     dirtied with doc_id-derived emails / phone numbers / IPv4 addresses,
@@ -3914,22 +3931,8 @@ def q_redact_pii(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-
-    def dirty(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_pandas()
-        t2 = (batch["text"].to_pandas()
-              + " contact user" + d.astype(str)
-              + "@mail" + (d % 7).astype(str)
-              + ".example or +1-" + (100 + d % 900).astype(str)
-              + "-555-" + (1000 + d % 9000).astype(str)
-              + " from " + (d % 256).astype(str)
-              + "." + ((d * 7) % 256).astype(str)
-              + ".0." + ((d * 13) % 256).astype(str))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(t2.to_numpy(dtype=object),
-                                          type=pa.string())})
-
-    red = piimod.redact_pii(docs.map_batches(dirty, batch_format="pyarrow"))
+    red = piimod.redact_pii(
+        docs.map_batches(_pii_dirty_batch, batch_format="pyarrow"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3946,9 +3949,11 @@ def q_redact_pii(sf_dir: str):
             "doc_id": "int64"})
 
 
-def _sql_redact_pii() -> str:
-    """The twin replays PII_STEPS in order, counting each pattern on the
-    chain's intermediate text exactly as redact_pii_series does."""
+def _sql_pii_prefix() -> str:
+    """Shared CTE chain: deterministic PII dirtying (s0) + the ordered
+    PII_STEPS mask replay (s1..sN, counts taken on the intermediate text
+    exactly as redact_pii_series does). SQL_REDACT_PII selects from the
+    last stage; SQL_CURATION_SHARDS chains chunking + sharding on top."""
     from ..functions.pii import PII_STEPS
 
     sql = ["WITH s0 AS (",
@@ -3972,15 +3977,112 @@ def _sql_redact_pii() -> str:
             + "".join(f"    n_{k}," for k, _, _ in PII_STEPS[:i]) + "\n"
             f"    regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}\n"
             f"  FROM s{i}\n)")
-    last = len(PII_STEPS)
-    names = ", ".join(f"n_{k}" for k, _, _ in PII_STEPS)
-    sql.append(f"SELECT doc_id, {names}, "
-               f"CAST(length(t{last}) AS BIGINT) AS n_redacted_chars\n"
-               f"FROM s{last} ORDER BY doc_id")
     return "\n".join(sql)
 
 
+def _sql_redact_pii() -> str:
+    from ..functions.pii import PII_STEPS
+
+    last = len(PII_STEPS)
+    names = ", ".join(f"n_{k}" for k, _, _ in PII_STEPS)
+    return (_sql_pii_prefix()
+            + f"\nSELECT doc_id, {names}, "
+            f"CAST(length(t{last}) AS BIGINT) AS n_redacted_chars\n"
+            f"FROM s{last} ORDER BY doc_id")
+
+
 SQL_REDACT_PII = _sql_redact_pii()
+
+
+def q_curation_shards(sf_dir: str):
+    """Composed curation pipeline — four operators chained end-to-end:
+    deterministic PII dirtying → redact_pii mask chain → chunk_plan over
+    the REDACTED text (the byte spans move when masks replace, so a
+    match proves chunking really consumed the masked output) →
+    shard_plan global shuffle assignment → bucketed hash join
+    (stages/joins.join_on_identifier) → per-shard rollup. One value
+    hash certifies the whole chain; every stage is the same code the
+    standalone queries run."""
+    from ray.data.aggregate import Min
+
+    from ..functions import pii as piimod
+    from ..stages.joins import join_on_identifier
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    red = piimod.redact_pii(
+        docs.map_batches(_pii_dirty_batch, batch_format="pyarrow"))
+    chunks = anmod.chunk_plan(red, window=16, stride=12)
+    per_doc = chunks.groupby("doc_id").aggregate(
+        Count(), Sum("n_chunk_bytes"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "n_chunks", "chunk_bytes"])
+
+    per_doc = per_doc.map_batches(rename, batch_format="pyarrow")
+    shards = anmod.shard_plan(docs, key_col="doc_id", shard_size=64)
+    joined = join_on_identifier(shards, per_doc, key="doc_id",
+                                right_cols=["n_chunks", "chunk_bytes"])
+    agg = joined.groupby("shard").aggregate(
+        Count(), Sum("n_chunks"), Sum("chunk_bytes"),
+        Min("doc_id")).to_pandas()
+    agg = agg.rename(columns={"count()": "n_docs",
+                              "sum(n_chunks)": "n_chunks",
+                              "sum(chunk_bytes)": "chunk_bytes",
+                              "min(doc_id)": "first_doc"})
+    agg = agg.sort_values("shard").reset_index(drop=True)
+    return agg.astype({c: "int64" for c in agg.columns})
+
+
+def _sql_curation_shards() -> str:
+    from ..functions.pii import PII_STEPS
+
+    last = len(PII_STEPS)
+    return _sql_pii_prefix() + f"""
+, chn AS (
+  SELECT doc_id, string_split(t{last}, ' ') AS toks,
+         CAST(len(string_split(t{last}, ' ')) AS BIGINT) AS n_tokens
+  FROM s{last}
+), chc AS (
+  SELECT *, CASE WHEN n_tokens <= 16 THEN 1
+                 ELSE (n_tokens - 16 + 11) // 12 + 1 END AS n_chunks
+  FROM chn
+), chx AS (
+  SELECT doc_id, toks, n_tokens, unnest(range(0, n_chunks)) AS chunk_id
+  FROM chc
+), chunk_rows AS (
+  SELECT doc_id,
+    CAST(strlen(array_to_string(
+        list_slice(toks, chunk_id * 12 + 1,
+                   chunk_id * 12 + LEAST(16, n_tokens - chunk_id * 12)),
+        ' ')) AS BIGINT) AS n_chunk_bytes
+  FROM chx
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         CAST(SUM(n_chunk_bytes) AS BIGINT) AS chunk_bytes
+  FROM chunk_rows GROUP BY doc_id
+), hq AS (
+  SELECT doc_id,
+         ((doc_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT)
+           & {(1 << 64) - 1}::HUGEINT AS hv
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CAST((ROW_NUMBER() OVER (ORDER BY hv) - 1) // 64 AS BIGINT)
+           AS shard
+  FROM hq
+)
+SELECT sh.shard, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(p.chunk_bytes) AS BIGINT) AS chunk_bytes,
+       MIN(sh.doc_id) AS first_doc
+FROM sh JOIN per_doc p USING (doc_id)
+GROUP BY sh.shard ORDER BY sh.shard
+"""
+
+
+SQL_CURATION_SHARDS = _sql_curation_shards()
 
 
 def q_shard_plan(sf_dir: str):
@@ -4061,6 +4163,7 @@ REGISTRY = {
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    "curation_shards": (q_curation_shards, SQL_CURATION_SHARDS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
