@@ -122,7 +122,7 @@ def _member128(h1d: np.ndarray, h2d: np.ndarray,
 
 def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
                     mode: str = "words", width: int = 3, min_docs: int = 2,
-                    fold: str = "range"):
+                    fold: str = "range", kind: str = "aligned"):
     """Pass 1: ray.put ref of the (h1,h2)-lexsorted banned-segment hash
     arrays. Narrow scan — only ``text_col`` leaves storage; per-batch
     partials carry one row per distinct segment (within-doc repeats
@@ -136,12 +136,22 @@ def banned_segments(ds: ray.data.Dataset, text_col: str = "text",
     measured 13× slower than the map passes on a duplicate-heavy 1M-doc
     probe (13M partial rows single-threaded). fold="driver": that serial
     fold (fine for small partials). fold="groupby": hash aggregation,
-    for when even one range's fold wouldn't fit a worker."""
+    for when even one range's fold wouldn't fit a worker.
+
+    kind="aligned" (default): _segment_hashes' disjoint width-word
+    chunks (the CCNet rewrite grain). kind="sliding": every unaligned
+    width-gram window (_sliding_ngram_hashes — substring-duplication
+    detection must catch overlaps at any offset); same census, fold and
+    broadcast shape, ~width× more partial rows per doc."""
     import ray
 
     def local(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas()
-        s1, s2, srow, _sw, _g, _f, _r = _segment_hashes(texts, mode, width)
+        if kind == "sliding":
+            s1, s2, srow, _tot = _sliding_ngram_hashes(texts, width)
+        else:
+            s1, s2, srow, _sw, _g, _f, _r = \
+                _segment_hashes(texts, mode, width)
         if not len(s1):
             e = np.empty(0, dtype=np.uint64)
             return pa.table({"__h1": pa.array(e), "__h2": pa.array(e),
@@ -442,6 +452,46 @@ def decontaminate(ds: ray.data.Dataset, eval_ref, id_col: str = "doc_id",
             "n_matched": pa.array(matched),
             "contaminated": pa.array(matched > max_matches),
         })
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(stage, batch_format="pyarrow")
+
+
+def dup_ngram_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", width: int = 8,
+                    min_docs: int = 2,
+                    banned_ref=None) -> ray.data.Dataset:
+    """Cross-document duplicate-span statistics (the substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for each document, how many of its sliding
+    ``width``-word n-grams also appear in ≥ ``min_docs`` distinct
+    documents. The classic follow-up — dropping or trimming those spans
+    — is the caller's filter on the stats, keeping the audit trail.
+
+    Same two-pass shape as segment_dedup, at the sliding grain:
+    pass 1 builds the duplicated-n-gram hash census with
+    :func:`banned_segments` (kind="sliding" — range-task fold, only the
+    dup set reaches the driver); pass 2 is ONE exchange-free map pass
+    probing the broadcast set (zero-copy numpy arrays out of the object
+    store — no per-batch deserialization). Output rows:
+    (id, n_ngrams, n_dup)."""
+    import ray
+
+    if banned_ref is None:
+        banned_ref = banned_segments(ds, text_col, mode="words",
+                                     width=width, min_docs=min_docs,
+                                     kind="sliding")
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        g1, g2, rows, totals = _sliding_ngram_hashes(texts, width)
+        h1d, h2d = ray.get(banned_ref)
+        dup = _member128(h1d, h2d, g1, g2)
+        n_dup = np.bincount(rows[dup], minlength=len(texts)) \
+            .astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "n_ngrams": pa.array(totals),
+                         "n_dup": pa.array(n_dup)})
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(stage, batch_format="pyarrow")

@@ -3994,6 +3994,67 @@ def _sql_redact_pii() -> str:
 SQL_REDACT_PII = _sql_redact_pii()
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate-span stats (lines.dup_ngram_stats — the
+    Lee-et-al substring-dedup signal): sliding 8-gram census over docs
+    carrying a deterministic shared boilerplate footer (so real dup
+    spans exist at every variant granularity), then per-doc counts of
+    windows whose 8-gram appears in ≥ 2 distinct documents. The engine
+    census is 128-bit positional hashes (range-task fold + broadcast
+    set); the SQL twin compares the n-gram STRINGS — hash equality ≡
+    string equality within 2⁻¹²⁸, so the value hash checks the whole
+    two-pass plan."""
+    from . import lines as linesmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def footer(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_pandas()
+        t2 = (batch["text"].to_pandas()
+              + " shared boilerplate footer sentence repeated across"
+                " crawl pages variant " + (d % 5).astype(str))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(t2.to_numpy(dtype=object),
+                                          type=pa.string())})
+
+    dirtied = docs.map_batches(footer, batch_format="pyarrow")
+    out = linesmod.dup_ngram_stats(dirtied, width=8, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_ngrams": "int64",
+                       "n_dup": "int64"})
+
+
+SQL_DUP_NGRAMS = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' shared boilerplate footer sentence repeated across'
+              || ' crawl pages variant ' || CAST(doc_id % 5 AS VARCHAR)
+           AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, string_split(lower(t), ' ') AS ws FROM dirty
+), di AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i FROM words
+  WHERE len(ws) >= 8
+), doc_grams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM di
+), freq AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS nd FROM doc_grams GROUP BY g)
+  WHERE nd >= 2
+), m AS (
+  SELECT doc_id, COUNT(*) AS n_dup
+  FROM doc_grams JOIN freq USING (g) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(GREATEST(len(w.ws) - 7, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(m.n_dup, 0) AS BIGINT) AS n_dup
+FROM words w LEFT JOIN m USING (doc_id) ORDER BY w.doc_id
+"""
+
+
 def q_curation_shards(sf_dir: str):
     """Composed curation pipeline — four operators chained end-to-end:
     deterministic PII dirtying → redact_pii mask chain → chunk_plan over
@@ -4164,6 +4225,7 @@ REGISTRY = {
     "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "curation_shards": (q_curation_shards, SQL_CURATION_SHARDS),
+    "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -295,3 +295,53 @@ class TestDecontaminateProperties:
             assert bool(got.contaminated[1]) is False
 
         prop()
+
+
+class TestDupNgramStats:
+    def _brute(self, texts, width, min_docs):
+        from collections import defaultdict
+        docs_of = defaultdict(set)
+        grams = []
+        for i, t in enumerate(texts):
+            ws = t.lower().split(" ")
+            g = [tuple(ws[j:j + width])
+                 for j in range(max(len(ws) - width + 1, 0))]
+            grams.append(g)
+            for gr in g:
+                docs_of[gr].add(i)
+        dup = {g for g, d in docs_of.items() if len(d) >= min_docs}
+        return [(len(g), sum(gr in dup for gr in g)) for g in grams]
+
+    def test_matches_brute(self):
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 25)))
+                 for _ in range(120)]
+        # plant exact cross-doc spans: docs 0..9 share a 12-word tail
+        tail = " the same twelve word long tail span shared by these docs"
+        texts = [t + tail if i < 10 else t for i, t in enumerate(texts)]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        out = lines.dup_ngram_stats(ray.data.from_pandas(df), width=5,
+                                    min_docs=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = self._brute(texts, 5, 2)
+        assert out["n_ngrams"].tolist() == [w[0] for w in want]
+        assert out["n_dup"].tolist() == [w[1] for w in want]
+        # the planted 11-word tail has 7 fully-internal 5-gram windows,
+        # each shared by all 10 docs — they must all register
+        assert (out["n_dup"].iloc[:10] >= 7).all()
+
+    def test_min_docs_threshold(self):
+        texts = ["a b c d e unique one", "a b c d e unique two",
+                 "totally different text here now"]
+        df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                           "text": texts})
+        out2 = lines.dup_ngram_stats(ray.data.from_pandas(df), width=5,
+                                     min_docs=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # 'a b c d e' AND 'b c d e unique' are both cross-doc 5-grams
+        assert out2["n_dup"].tolist() == [2, 2, 0]
+        out3 = lines.dup_ngram_stats(ray.data.from_pandas(df), width=5,
+                                     min_docs=3).to_pandas()
+        assert out3["n_dup"].sum() == 0
