@@ -479,6 +479,90 @@ def shard_plan(ds: ray.data.Dataset, key_col: str, shard_size: int,
     return grouped_apply(tagged, kernel, nranges)
 
 
+def stratified_take(ds: ray.data.Dataset, key_col: str, strata_col: str,
+                    k: dict, nranges: int = 64) -> ray.data.Dataset:
+    """EXACT stratified take-k: from each stratum keep precisely
+    ``k[stratum]`` rows — the first k in the deterministic hash order
+    ``(key+1)·MIX mod 2⁶⁴`` (bijective ⇒ tie-free; a seeded per-stratum
+    shuffle-then-take). Strata absent from ``k`` are dropped. This is
+    the quota-apply half of a corpus mixing planner (DoReMi-style
+    static mixing): rate-threshold sampling (stratified_sample) only
+    hits quotas in expectation; training mixtures need them exact.
+
+    Same two-pass range plan as shard_plan, partitioned by stratum:
+    per-(stratum, high-bit bucket) counts (≤ nstrata × nranges rows —
+    catalog-sized) → driver prefix per stratum → broadcast offsets →
+    one co-bucket exchange where each row gets its exact within-stratum
+    hash rank and quotas filter map-side. SQL twin:
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h)``.
+
+    Returns (key_col, strata_col, rank) — rank is the 0-based position
+    in the stratum's hash order, < k[stratum] by construction (the
+    audit column a resumable pipeline re-verifies quotas with)."""
+    from ..stages.temporal import grouped_apply
+    if not (nranges >= 2 and (nranges & (nranges - 1)) == 0):
+        raise ValueError("nranges must be a power of two >= 2")
+    shift = np.uint64(64 - int(nranges).bit_length() + 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kk = batch[key_col].to_numpy().astype(np.uint64)
+        h = (kk + np.uint64(1)) * np.uint64(_MIX)
+        return pa.table({key_col: batch[key_col],
+                         strata_col: batch[strata_col],
+                         "__h": pa.array(h, type=pa.uint64()),
+                         "__bucket": pa.array(
+                             (h >> shift).astype(np.int64))})
+
+    slim = ds.select_columns([key_col, strata_col])
+    tagged = slim.map_batches(tag, batch_format="pyarrow")
+
+    def count(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({strata_col: batch[strata_col].to_pandas(),
+                           "__bucket": batch["__bucket"].to_numpy()})
+        g = df.groupby([strata_col, "__bucket"], sort=False,
+                       dropna=False).size().reset_index(name="n")
+        return pa.table({strata_col: pa.array(
+                             g[strata_col],
+                             type=batch.schema.field(strata_col).type),
+                         "__bucket": pa.array(g["__bucket"].to_numpy()),
+                         "n": pa.array(g["n"].to_numpy()
+                                       .astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    cnt = tagged.map_batches(count, batch_format="pyarrow") \
+        .groupby([strata_col, "__bucket"]).aggregate(Sum("n")) \
+        .to_pandas().sort_values([strata_col, "__bucket"])
+    cnt["off"] = cnt.groupby(strata_col)["sum(n)"].cumsum() - cnt["sum(n)"]
+    offsets = {(s, b): int(o) for s, b, o in
+               zip(cnt[strata_col], cnt["__bucket"], cnt["off"])}
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: [], strata_col: [], "rank": []})
+        d = df.sort_values([strata_col, "__bucket", "__h"],
+                           kind="mergesort")
+        pos = d.groupby([strata_col, "__bucket"], sort=False).cumcount() \
+            .to_numpy()
+        off = np.array([offsets[(s, b)] for s, b in
+                        zip(d[strata_col], d["__bucket"])],
+                       dtype=np.int64)
+        rank = off + pos
+        quota = d[strata_col].map(k).fillna(0).astype(np.int64).to_numpy()
+        keep = rank < quota
+        return pd.DataFrame({key_col: d[key_col].to_numpy()[keep],
+                             strata_col: d[strata_col].to_numpy()[keep],
+                             "rank": rank[keep]})
+
+    # empty buckets (all ranks >= quota) would infer null-typed columns
+    # and crash block unification — normalize under one explicit schema
+    from ..functions.arrowio import (dataset_arrow_schema,
+                                     pandas_to_arrow_normalizer)
+    target = dataset_arrow_schema(slim, [key_col, strata_col]) \
+        .append(pa.field("rank", pa.int64()))
+    return grouped_apply(tagged, kernel, nranges).map_batches(
+        pandas_to_arrow_normalizer(target), batch_format="pandas")
+
+
 def _string_byte_layout(arr):
     """(offsets[int64, n+1], data[uint8]) view of an Arrow string column.
 

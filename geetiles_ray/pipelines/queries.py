@@ -3994,6 +3994,59 @@ def _sql_redact_pii() -> str:
 SQL_REDACT_PII = _sql_redact_pii()
 
 
+_MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
+
+
+def q_mixture_take(sf_dir: str):
+    """Corpus mixing planner (analytics.stratified_take): hit a target
+    language mixture (en:de:fr:es:zh = 5:2:2:1:1) with EXACT integer
+    quotas — q = min over strata of floor(n_s / w_s) (computed over
+    strata present in both corpus and target, matching the SQL join),
+    quota k_s = w_s·q — then take precisely the first k_s docs of each
+    stratum in the deterministic hash order. Rate-threshold sampling
+    only hits a mixture in expectation; training mixtures need exact.
+    The SQL twin is the naive per-stratum ROW_NUMBER window, so the
+    value hash proves the distributed rank plan selects the identical
+    set with identical ranks."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    cnt = docs.groupby("lang").count().to_pandas()
+    n_of = dict(zip(cnt["lang"], cnt["count()"]))
+    q = min(int(n_of[s]) // w for s, w in _MIX_WEIGHTS.items()
+            if s in n_of)
+    k = {s: w * q for s, w in _MIX_WEIGHTS.items()}
+    out = anmod.stratified_take(docs, key_col="doc_id", strata_col="lang",
+                                k=k).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "rank": "int64"})
+
+
+SQL_MIXTURE_TAKE = f"""
+WITH w(lang, wt) AS (
+  VALUES ('en', 5), ('de', 2), ('fr', 2), ('es', 1), ('zh', 1)
+), n AS (
+  SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang
+), qv AS (
+  SELECT MIN(nl // wt) AS q FROM n JOIN w USING (lang)
+), k AS (
+  SELECT lang, wt * (SELECT q FROM qv) AS kl FROM w
+), h AS (
+  SELECT doc_id, lang,
+         ((doc_id::HUGEINT + 1) * {0x9E3779B97F4A7C15}::HUGEINT)
+           & {(1 << 64) - 1}::HUGEINT AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) - 1 AS rank
+  FROM h
+)
+SELECT r.doc_id, r.lang, CAST(r.rank AS BIGINT) AS rank
+FROM r JOIN k USING (lang) WHERE r.rank < k.kl ORDER BY r.doc_id
+"""
+
+
 def q_dup_ngrams(sf_dir: str):
     """Cross-document duplicate-span stats (lines.dup_ngram_stats — the
     Lee-et-al substring-dedup signal): sliding 8-gram census over docs
@@ -4226,6 +4279,7 @@ REGISTRY = {
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "curation_shards": (q_curation_shards, SQL_CURATION_SHARDS),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
+    "mixture_take": (q_mixture_take, SQL_MIXTURE_TAKE),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

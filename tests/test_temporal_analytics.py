@@ -737,3 +737,44 @@ class TestShardPlan:
         pd.testing.assert_frame_equal(a, b)
         with pytest.raises(ValueError):
             an.shard_plan(ray.data.from_pandas(df), "doc_id", 64, nranges=3)
+
+
+class TestStratifiedTake:
+    def _brute(self, df, k):
+        h = (df["doc_id"].to_numpy().astype(np.uint64) + np.uint64(1)) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        d = df.assign(h=h).sort_values("h")
+        rows = []
+        for s, g in d.groupby("lang"):
+            for r, (_, row) in enumerate(g.iterrows()):
+                if r < k.get(s, 0):
+                    rows.append((row.doc_id, s, r))
+        return pd.DataFrame(rows, columns=["doc_id", "lang", "rank"]) \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def test_exact_quotas_match_brute(self):
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "doc_id": np.arange(1500, dtype=np.int64),
+            "lang": rng.choice(["en", "fr", "de", "zh"], 1500,
+                               p=[0.5, 0.25, 0.15, 0.1])})
+        k = {"en": 300, "fr": 100, "de": 5000, "zh": 0}  # de > n, zh 0
+        out = an.stratified_take(ray.data.from_pandas(df), "doc_id",
+                                 "lang", k, nranges=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = self._brute(df, k)
+        pd.testing.assert_frame_equal(
+            out.astype({"rank": "int64"}), want.astype({"rank": "int64"}))
+        sizes = out.groupby("lang").size()
+        assert sizes.get("en", 0) == 300 and sizes.get("fr", 0) == 100
+        # over-quota stratum keeps everything; zero-quota drops all
+        assert sizes.get("de", 0) == (df.lang == "de").sum()
+        assert "zh" not in sizes.index
+
+    def test_missing_stratum_dropped(self):
+        df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                           "lang": ["en"] * 50 + ["xx"] * 50})
+        out = an.stratified_take(ray.data.from_pandas(df), "doc_id",
+                                 "lang", {"en": 10}, nranges=4).to_pandas()
+        assert len(out) == 10 and set(out.lang) == {"en"}
+        assert out["rank"].max() == 9
