@@ -89,6 +89,36 @@ def main():
     results["n_emails_masked"] = int(red["sum(n_email)"])
     results["n_ips_masked"] = int(red["sum(n_ipv4)"])
 
+    # sliding 8-gram census + probe pass (dup spans exist by synthesis:
+    # the 40-token body repeats its 8-token pattern 5x within each doc,
+    # and doc bodies collide across ids sharing (i*m+j)%50000 patterns)
+    from geetiles_ray.pipelines import lines as linesmod
+    t0 = time.time()
+    dup = linesmod.dup_ngram_stats(ds, width=8, min_docs=2) \
+        .aggregate(Sum("n_dup"))
+    results["dup_ngrams_sec"] = round(time.time() - t0, 2)
+    results["n_dup_windows"] = int(dup["sum(n_dup)"])
+
+    # exact stratified take-k over a 16-way synthetic stratum
+    def strat(batch):
+        import pyarrow as _pa
+        d = batch["doc_id"].to_numpy()
+        return _pa.table({"doc_id": batch["doc_id"],
+                          "lang": _pa.array([f"s{int(x) % 16}"
+                                             for x in d])})
+    sds = ds.select_columns(["doc_id"]).map_batches(
+        strat, batch_format="pyarrow")
+    quota = {f"s{i}": 1000 * (i + 1) for i in range(16)}
+    t0 = time.time()
+    taken = anmod.stratified_take(sds, "doc_id", "lang", quota)
+    sizes = taken.groupby("lang").count().to_pandas()
+    results["stratified_take_sec"] = round(time.time() - t0, 2)
+    per_stratum = n_docs // 16  # doc_id % 16 is exactly uniform
+    results["quotas_exact"] = bool(all(
+        int(sizes[sizes.lang == s]["count()"].iloc[0])
+        == min(q, per_stratum)
+        for s, q in quota.items()))
+
     results["rss_mb_end"] = round(rss_mb(), 1)
     results["rss_mb_growth"] = round(
         results["rss_mb_end"] - results["rss_mb_start"], 1)
