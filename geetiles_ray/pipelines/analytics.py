@@ -580,6 +580,33 @@ def _string_byte_layout(arr):
     return off, data
 
 
+def _chunk_spans(off: np.ndarray, data: np.ndarray, n: int,
+                 window: int, stride: int):
+    """Shared span arithmetic of chunk_plan / chunk_texts: byte-level
+    token boundaries (space = 0x20, never inside a UTF-8 multibyte
+    sequence) → per-chunk (doc index, chunk_id, start_tok, n_tokens,
+    start_byte, end_byte), all vectorized."""
+    w, st = np.int64(window), np.int64(stride)
+    space = np.flatnonzero(data[off[0]:off[-1]] == 32) + off[0]
+    sp_lo = np.searchsorted(space, off[:-1])
+    ntok = (np.searchsorted(space, off[1:]) - sp_lo + 1).astype(np.int64)
+    nch = (np.maximum(ntok - w, 0) + st - 1) // st + 1
+    tot = int(nch.sum())
+    d = np.repeat(np.arange(n, dtype=np.int64), nch)
+    first = np.concatenate(([0], np.cumsum(nch)[:-1]))
+    cid = np.arange(tot, dtype=np.int64) - np.repeat(first, nch)
+    s = cid * st
+    ln = np.minimum(w, ntok[d] - s)
+    start_byte = off[:-1][d].copy()
+    m = s > 0
+    start_byte[m] = space[sp_lo[d][m] + s[m] - 1] + 1
+    end_byte = off[1:][d].copy()
+    e = s + ln
+    m = e < ntok[d]
+    end_byte[m] = space[sp_lo[d][m] + e[m] - 1]
+    return d, cid, s, ln, start_byte, end_byte
+
+
 def chunk_plan(ds: ray.data.Dataset, id_col: str = "doc_id",
                text_col: str = "text", window: int = 64, stride: int = 48,
                keep_cols: tuple = ()) -> ray.data.Dataset:
@@ -602,7 +629,6 @@ def chunk_plan(ds: ray.data.Dataset, id_col: str = "doc_id",
     ``''`` is one empty token)."""
     if not (1 <= stride <= window):
         raise ValueError("need 1 <= stride <= window")
-    w, st = np.int64(window), np.int64(stride)
 
     def chunk(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema(
@@ -615,23 +641,8 @@ def chunk_plan(ds: ray.data.Dataset, id_col: str = "doc_id",
         if n == 0:
             return out_schema.empty_table()
         off, data = _string_byte_layout(batch[text_col])
-        space = np.flatnonzero(data[off[0]:off[-1]] == 32) + off[0]
-        sp_lo = np.searchsorted(space, off[:-1])
-        ntok = (np.searchsorted(space, off[1:]) - sp_lo + 1).astype(np.int64)
-        nch = (np.maximum(ntok - w, 0) + st - 1) // st + 1
-        tot = int(nch.sum())
-        d = np.repeat(np.arange(n, dtype=np.int64), nch)
-        first = np.concatenate(([0], np.cumsum(nch)[:-1]))
-        cid = np.arange(tot, dtype=np.int64) - np.repeat(first, nch)
-        s = cid * st
-        ln = np.minimum(w, ntok[d] - s)
-        start_byte = off[:-1][d].copy()
-        m = s > 0
-        start_byte[m] = space[sp_lo[d][m] + s[m] - 1] + 1
-        end_byte = off[1:][d].copy()
-        e = s + ln
-        m = e < ntok[d]
-        end_byte[m] = space[sp_lo[d][m] + e[m] - 1]
+        d, cid, s, ln, start_byte, end_byte = _chunk_spans(
+            off, data, n, window, stride)
         cols = {id_col: batch[id_col].take(pa.array(d))}
         for c in keep_cols:
             cols[c] = batch[c].take(pa.array(d))
@@ -644,6 +655,65 @@ def chunk_plan(ds: ray.data.Dataset, id_col: str = "doc_id",
     cols = [id_col, text_col, *keep_cols]
     return ds.select_columns(cols).map_batches(
         chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_texts(ds: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text", window: int = 64,
+                stride: int = 48, keep_cols: tuple = (),
+                out_col: str = "chunk_text") -> ray.data.Dataset:
+    """Materializing variant of :func:`chunk_plan`: same spans, plus the
+    chunk STRING itself — the write-side op (follow with
+    ``.write_parquet(out_dir)`` for the training-corpus layout; the
+    planner stays the right choice when a downstream stage only needs
+    counts/offsets). Still no per-row Python: chunk bytes are gathered
+    from the batch's utf8 data buffer with one vectorized fancy-index
+    (repeat/cumsum span expansion) and the output column is rebuilt
+    via ``pa.Array.from_buffers`` — overlapping spans (stride < window)
+    just duplicate bytes in the new buffer."""
+    if not (1 <= stride <= window):
+        raise ValueError("need 1 <= stride <= window")
+    planned_cols = ["chunk_id", "start_tok", "n_chunk_tokens",
+                    "start_byte", "n_chunk_bytes"]
+
+    def mat(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(id_col, batch.schema.field(id_col).type)]
+            + [(c, batch.schema.field(c).type) for c in keep_cols]
+            + [(n, pa.int64()) for n in planned_cols]
+            + [(out_col, pa.string())])
+        n = batch.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        off, data = _string_byte_layout(batch[text_col])
+        d, cid, s, ln, start_byte, end_byte = _chunk_spans(
+            off, data, n, window, stride)
+        tot = len(d)
+        blen = end_byte - start_byte
+        # vectorized gather: position k of the output buffer reads
+        # data[start_byte[chunk of k] + (k - chunk's output offset)]
+        new_off = np.concatenate(([0], np.cumsum(blen))).astype(np.int32)
+        total_b = int(new_off[-1])
+        owner = np.repeat(np.arange(tot, dtype=np.int64), blen)
+        idx = (np.arange(total_b, dtype=np.int64)
+               - new_off[:-1][owner] + start_byte[owner])
+        new_data = data[idx] if total_b else np.empty(0, np.uint8)
+        chunks = pa.Array.from_buffers(
+            pa.string(), tot,
+            [None, pa.py_buffer(new_off.tobytes()),
+             pa.py_buffer(new_data.tobytes())])
+        cols = {id_col: batch[id_col].take(pa.array(d))}
+        for c in keep_cols:
+            cols[c] = batch[c].take(pa.array(d))
+        cols.update(chunk_id=pa.array(cid), start_tok=pa.array(s),
+                    n_chunk_tokens=pa.array(ln),
+                    start_byte=pa.array(start_byte - off[:-1][d]),
+                    n_chunk_bytes=pa.array(blen))
+        cols[out_col] = chunks
+        return pa.table(cols, schema=out_schema)
+
+    cols = [id_col, text_col, *keep_cols]
+    return ds.select_columns(cols).map_batches(
+        mat, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------- inverted index

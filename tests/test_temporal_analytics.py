@@ -778,3 +778,39 @@ class TestStratifiedTake:
                                  "lang", {"en": 10}, nranges=4).to_pandas()
         assert len(out) == 10 and set(out.lang) == {"en"}
         assert out["rank"].max() == 9
+
+
+class TestChunkTexts:
+    def test_materialized_chunks_match_python_slices(self):
+        rng = np.random.default_rng(13)
+        vocab = ["alpha", "bé", "c", "ddd", "", "éé"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+                 for _ in range(200)] + ["", "one", "a b"]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "lang": ["x"] * len(texts), "text": texts})
+        out = an.chunk_texts(ray.data.from_pandas(df), window=6, stride=4,
+                             keep_cols=("lang",)).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        plan = an.chunk_plan(ray.data.from_pandas(df), window=6,
+                             stride=4).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        # same spans as the planner
+        pd.testing.assert_frame_equal(
+            out[plan.columns].astype("int64"), plan.astype("int64"))
+        # chunk strings are the exact token slices
+        for _, r in out.iterrows():
+            toks = texts[r.doc_id].split(" ")
+            assert r.chunk_text == " ".join(
+                toks[r.start_tok: r.start_tok + r.n_chunk_tokens])
+            assert len(r.chunk_text.encode()) == r.n_chunk_bytes
+
+    def test_parquet_roundtrip(self, tmp_path):
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "text": ["tok " * 20 + "end"] * 50})
+        out_dir = str(tmp_path / "chunks")
+        an.chunk_texts(ray.data.from_pandas(df), window=8,
+                       stride=8).write_parquet(out_dir)
+        back = ray.data.read_parquet(out_dir).to_pandas()
+        assert len(back) == 50 * 3  # 21 tokens / window 8 -> 3 chunks
+        assert (back.groupby("doc_id").size() == 3).all()
+        assert back.chunk_text.str.len().gt(0).all()
