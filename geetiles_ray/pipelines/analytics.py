@@ -580,6 +580,47 @@ def _string_byte_layout(arr):
     return off, data
 
 
+def oov_rate(ds: ray.data.Dataset, id_col: str = "doc_id",
+             text_col: str = "text", vocab_size: int = 100,
+             reduce: str = "auto",
+             concurrency: int = 4) -> ray.data.Dataset:
+    """Tokenizer-vocabulary coverage diagnostics: per document, how many
+    tokens fall outside the corpus's own top-``vocab_size`` vocabulary —
+    the OOV-rate report run before fixing a tokenizer vocab or spotting
+    out-of-domain/garbage shards. Vocab = :func:`top_tokens` (exact,
+    deterministic (count desc, token asc) tie-break at the size
+    boundary, size-dispatched fold), broadcast ONCE PER ACTOR via
+    ``ray.get`` in ``__init__`` (the ImportanceScore pattern — never
+    per batch), then ONE map pass. Output (id, n_tokens, n_oov)."""
+    import ray as _ray
+
+    top = top_tokens(ds, text_col, k=vocab_size, reduce=reduce)
+    ref = _ray.put(frozenset(top["token"].tolist()))
+
+    class Oov:
+        def __init__(self):
+            self.vocab = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "n_oov": pd.Series([], dtype="int64")})
+            toks = tokenize(df[text_col])
+            nt = toks.groupby(level=0).size() \
+                .reindex(df.index, fill_value=0)
+            inv = toks.isin(self.vocab).groupby(level=0).sum() \
+                .reindex(df.index, fill_value=0)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "n_tokens": nt.to_numpy().astype(np.int64),
+                "n_oov": (nt - inv).to_numpy().astype(np.int64)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Oov, batch_format="pandas", concurrency=concurrency)
+
+
 def _chunk_spans(off: np.ndarray, data: np.ndarray, n: int,
                  window: int, stride: int):
     """Shared span arithmetic of chunk_plan / chunk_texts: byte-level

@@ -3994,6 +3994,53 @@ def _sql_redact_pii() -> str:
 SQL_REDACT_PII = _sql_redact_pii()
 
 
+def q_oov_rate(sf_dir: str):
+    """Per-doc OOV rate vs the corpus top-100 vocabulary
+    (analytics.oov_rate): exact top-V via top_tokens' size-dispatched
+    fold, vocab broadcast once per actor, one map pass. The SQL twin
+    rebuilds the identical vocab (same (count desc, token asc)
+    boundary tie-break) and LEFT JOINs it back, so the value hash
+    checks vocab construction AND membership counting."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = anmod.oov_rate(docs, vocab_size=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return out.astype({"doc_id": "int64", "n_tokens": "int64",
+                       "n_oov": "int64"})
+
+
+def _sql_oov_rate() -> str:
+    from .text import TOKEN_STRIP
+    strip_sql = TOKEN_STRIP.replace("'", "''")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         trim(unnest(regexp_split_to_array(lower(text), '\\s+')),
+              '{strip_sql}') AS token
+  FROM documents
+), tk AS (
+  SELECT doc_id, token FROM raw WHERE token <> ''
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM tk GROUP BY token
+), vocab AS (
+  SELECT token FROM counts ORDER BY n DESC, token LIMIT 100
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tk LEFT JOIN vocab v USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+SQL_OOV_RATE = _sql_oov_rate()
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4281,6 +4328,7 @@ REGISTRY = {
     "curation_shards": (q_curation_shards, SQL_CURATION_SHARDS),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "mixture_take": (q_mixture_take, SQL_MIXTURE_TAKE),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -814,3 +814,31 @@ class TestChunkTexts:
         assert len(back) == 50 * 3  # 21 tokens / window 8 -> 3 chunks
         assert (back.groupby("doc_id").size() == 3).all()
         assert back.chunk_text.str.len().gt(0).all()
+
+
+class TestOovRate:
+    def test_matches_brute(self):
+        from collections import Counter
+        from geetiles_ray.pipelines.text import TOKEN_STRIP
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(40)] + ["Rare!", "(odd)", "UPPER"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+                 for _ in range(150)] + ["", "   "]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        V = 20
+        out = an.oov_rate(ray.data.from_pandas(df),
+                          vocab_size=V).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        def toks(t):
+            return [w.strip(TOKEN_STRIP) for w in t.lower().split()
+                    if w.strip(TOKEN_STRIP) != ""]
+        c = Counter()
+        for t in texts:
+            c.update(toks(t))
+        top = set(sorted(c, key=lambda w: (-c[w], w))[:V])
+        for i, t in enumerate(texts):
+            tt = toks(t)
+            assert out.n_tokens[i] == len(tt)
+            assert out.n_oov[i] == sum(w not in top for w in tt), t
