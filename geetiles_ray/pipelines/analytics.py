@@ -621,6 +621,81 @@ def oov_rate(ds: ray.data.Dataset, id_col: str = "doc_id",
         Oov, batch_format="pandas", concurrency=concurrency)
 
 
+def apportion_budget(ds: ray.data.Dataset, key_col: str, weight_col: str,
+                     budget: int, nranges: int = 64) -> ray.data.Dataset:
+    """Largest-remainder (Hamilton) integer apportionment: split an
+    integer ``budget`` across keys proportionally to integer weights so
+    quotas sum EXACTLY to the budget — the crawl-politeness /
+    per-source-sampling allocator (floats + rounding drift the total;
+    training and crawl budgets need the exact invariant).
+
+    quota_k = floor(B·w_k / W) plus +1 for the R keys with the largest
+    remainder (B·w_k mod W), R = B − Σ floor, ties broken by key asc —
+    all int64 arithmetic (contract: B·max(w) < 2⁶³ and W·nranges < 2⁶³;
+    shift to per-shard sub-budgets beyond).
+
+    Distributed: the weight table never lands on the driver — remainders
+    are ranked with the same two-pass range plan as shard_plan, ordered
+    by (remainder desc, key asc) via the order-preserving bucket map
+    ``(W−1−rem)·nranges // W``; only the nranges-row count table and two
+    scalar aggregates reach the driver. SQL twin:
+    ``ROW_NUMBER() OVER (ORDER BY rem DESC, key)``."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.temporal import grouped_apply
+    if not (nranges >= 2 and (nranges & (nranges - 1)) == 0):
+        raise ValueError("nranges must be a power of two >= 2")
+    t = ds.select_columns([key_col, weight_col]).materialize()
+    W = int(t.aggregate(Sum(weight_col))[f"sum({weight_col})"] or 0)
+    if W <= 0:
+        raise ValueError("total weight must be positive")
+    B = int(budget)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy().astype(np.int64)
+        prod = B * w
+        base = prod // W
+        rem = prod % W
+        bucket = (W - 1 - rem) * np.int64(nranges) // W
+        return pa.table({key_col: batch[key_col],
+                         "base": pa.array(base), "rem": pa.array(rem),
+                         "__bucket": pa.array(bucket)})
+
+    tagged = t.map_batches(tag, batch_format="pyarrow").materialize()
+    R = B - int(tagged.aggregate(Sum("base"))["sum(base)"] or 0)
+
+    def count(batch: pa.Table) -> pa.Table:
+        b, n = np.unique(batch["__bucket"].to_numpy(), return_counts=True)
+        return pa.table({"__bucket": pa.array(b),
+                         "n": pa.array(n.astype(np.int64))})
+
+    cnt = tagged.map_batches(count, batch_format="pyarrow") \
+        .groupby("__bucket").aggregate(Sum("n")).to_pandas() \
+        .sort_values("__bucket")
+    cum = cnt["sum(n)"].to_numpy().cumsum()
+    offsets = dict(zip(cnt["__bucket"].to_numpy(),
+                       np.concatenate(([0], cum[:-1])).astype(np.int64)))
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: [], "quota": []})
+        d = df.sort_values(["__bucket", "rem", key_col],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        pos = d.groupby("__bucket", sort=False).cumcount().to_numpy()
+        rank = d["__bucket"].map(offsets).to_numpy() + pos
+        quota = d["base"].to_numpy() + (rank < R)
+        return pd.DataFrame({key_col: d[key_col].to_numpy(),
+                             "quota": quota.astype(np.int64)})
+
+    from ..functions.arrowio import (dataset_arrow_schema,
+                                     pandas_to_arrow_normalizer)
+    target = dataset_arrow_schema(t, [key_col]) \
+        .append(pa.field("quota", pa.int64()))
+    return grouped_apply(tagged, kernel, nranges).map_batches(
+        pandas_to_arrow_normalizer(target), batch_format="pandas")
+
+
 def _chunk_spans(off: np.ndarray, data: np.ndarray, n: int,
                  window: int, stride: int):
     """Shared span arithmetic of chunk_plan / chunk_texts: byte-level

@@ -4041,6 +4041,66 @@ FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
 SQL_OOV_RATE = _sql_oov_rate()
 
 
+def q_crawl_budget(sf_dir: str):
+    """Crawl-budget allocator (analytics.apportion_budget): a 997-page
+    crawl budget split across synthesized hosts proportionally to their
+    page counts with largest-remainder apportionment — quotas sum to
+    EXACTLY 997 (budget prime so remainders genuinely rank). The SQL
+    twin is the naive ROW_NUMBER remainder window; the engine ranks
+    remainders with the distributed two-pass range plan, so the value
+    hash proves the exact-total invariant and every +1 placement."""
+    from . import analytics as anmod
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        hosts = [f"{lg}.site{int(i) % 19}.example"
+                 for lg, i in zip(langs, d)]
+        return pa.table({"host": pa.array(hosts, type=pa.string())})
+
+    weights = docs.map_batches(synth, batch_format="pyarrow") \
+        .groupby("host").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["host", "n_pages"])
+
+    weights = weights.map_batches(rename, batch_format="pyarrow")
+    out = anmod.apportion_budget(weights, key_col="host",
+                                 weight_col="n_pages", budget=997) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    return out.astype({"quota": "int64"})
+
+
+SQL_CRAWL_BUDGET = """
+WITH hosts AS (
+  SELECT lang || '.site' || CAST(doc_id % 19 AS VARCHAR) || '.example'
+           AS host
+  FROM documents
+), w AS (
+  SELECT host, COUNT(*) AS n_pages FROM hosts GROUP BY host
+), tot AS (
+  SELECT SUM(n_pages) AS tw FROM w
+), b AS (
+  SELECT host, (997 * n_pages) // tw AS base,
+         (997 * n_pages) % tw AS rem
+  FROM w, tot
+), r AS (
+  SELECT 997 - SUM(base) AS leftover FROM b
+), rk AS (
+  SELECT host, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host) - 1 AS rnk
+  FROM b
+)
+SELECT host,
+       CAST(base + CASE WHEN rnk < (SELECT leftover FROM r)
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM rk ORDER BY host
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4329,6 +4389,7 @@ REGISTRY = {
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "mixture_take": (q_mixture_take, SQL_MIXTURE_TAKE),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -842,3 +842,39 @@ class TestOovRate:
             tt = toks(t)
             assert out.n_tokens[i] == len(tt)
             assert out.n_oov[i] == sum(w not in top for w in tt), t
+
+
+class TestApportionBudget:
+    def _brute(self, keys, weights, B):
+        W = sum(weights)
+        base = [B * w // W for w in weights]
+        rem = [B * w % W for w in weights]
+        R = B - sum(base)
+        order = sorted(range(len(keys)), key=lambda i: (-rem[i], keys[i]))
+        quota = list(base)
+        for i in order[:R]:
+            quota[i] += 1
+        return dict(zip(keys, quota))
+
+    def test_exact_total_and_brute_parity(self):
+        rng = np.random.default_rng(31)
+        keys = [f"h{i:04d}" for i in range(500)]
+        weights = rng.integers(1, 10_000, 500).astype(np.int64)
+        df = pd.DataFrame({"host": keys, "w": weights})
+        for B in (7, 997, 499_999):
+            out = an.apportion_budget(ray.data.from_pandas(df), "host",
+                                      "w", B, nranges=8).to_pandas()
+            assert out["quota"].sum() == B  # the exact-total invariant
+            want = self._brute(keys, list(weights), B)
+            got = dict(zip(out["host"], out["quota"]))
+            assert got == want
+
+    def test_degenerate_and_guards(self):
+        df = pd.DataFrame({"host": ["a", "b"], "w": [1, 1]})
+        out = an.apportion_budget(ray.data.from_pandas(df), "host", "w",
+                                  3).to_pandas().sort_values("host")
+        # rem ties: 3*1%2=1 for both; key asc gives 'a' the +1
+        assert out["quota"].tolist() == [2, 1]
+        with pytest.raises(ValueError):
+            an.apportion_budget(ray.data.from_pandas(
+                pd.DataFrame({"host": ["a"], "w": [0]})), "host", "w", 5)
