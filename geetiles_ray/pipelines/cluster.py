@@ -195,6 +195,84 @@ def lsh_buckets(xq: np.ndarray, signs: np.ndarray) -> np.ndarray:
     return bits @ (1 << np.arange(signs.shape[0], dtype=np.int64))
 
 
+def centroid_outliers(ds: ray.data.Dataset, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label") -> ray.data.Dataset:
+    """Embedding pruning by centroid distance (the SemDeDup /
+    SSL-prototypes dataset-curation signal): per label, the exact
+    quantized centroid (same int64 grid + round-half-up update as
+    kmeans_quantized), then each vector's exact squared distance to its
+    label's centroid; ``outlier`` = distance above the label's integer
+    mean distance. All int64 arithmetic — fold order cannot change a
+    flag. Output (id, label, d2, outlier).
+
+    Three streaming passes over the corpus, nothing corpus-sized on
+    the driver: (1) per-(label, dim) sum/count combiner (≤ labels·dim
+    rows per block, kmeans' accepted fold shape), (2) broadcast
+    centroids → exact d2 map, (3) per-label mean fold (labels rows) →
+    broadcast thresholds → map-side flag."""
+    base = ds.select_columns([id_col, vec_col, label_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xq = _q_batch(batch, vec_col)
+        lab = batch[label_col].to_numpy()
+        labs, inv = np.unique(lab, return_inverse=True)
+        dim = xq.shape[1]
+        sums = np.zeros((len(labs), dim), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        n = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        nl = len(labs)
+        return pa.table({
+            label_col: pa.array(np.repeat(labs, dim)),
+            "d": pa.array(np.tile(np.arange(dim, dtype=np.int64), nl)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(n, dim))})
+
+    part = base.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = part.groupby([label_col, "d"], sort=True)[["s", "n"]].sum()
+    cents, counts = {}, {}
+    for lab, g in agg.reset_index().groupby(label_col, sort=True):
+        g = g.sort_values("d")
+        cents[lab] = _round_div(g["s"].to_numpy(), g["n"].to_numpy())
+        counts[lab] = int(g["n"].iloc[0])
+
+    def dist(batch: pa.Table) -> pa.Table:
+        xq = _q_batch(batch, vec_col)
+        lab = batch[label_col].to_numpy()
+        c = np.stack([cents[v] for v in np.unique(lab)])
+        lmap = {v: i for i, v in enumerate(np.unique(lab))}
+        rows = np.array([lmap[v] for v in lab], dtype=np.int64)
+        diff = xq - c[rows]
+        d2 = (diff * diff).sum(axis=1)
+        return pa.table({id_col: batch[id_col],
+                         label_col: batch[label_col],
+                         "d2": pa.array(d2.astype(np.int64))})
+
+    d2t = base.map_batches(dist, batch_format="pyarrow").materialize()
+
+    def d2part(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].to_numpy()
+        labs, inv = np.unique(lab, return_inverse=True)
+        s = np.zeros(len(labs), dtype=np.int64)
+        np.add.at(s, inv, batch["d2"].to_numpy())
+        return pa.table({label_col: pa.array(labs),
+                         "s": pa.array(s),
+                         "n": pa.array(np.bincount(
+                             inv, minlength=len(labs)).astype(np.int64))})
+
+    dagg = d2t.map_batches(d2part, batch_format="pyarrow").to_pandas() \
+        .groupby(label_col)[["s", "n"]].sum()
+    thr = {lab: int(r.s) // int(r.n) for lab, r in dagg.iterrows()}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].to_numpy()
+        t = np.array([thr[v] for v in lab], dtype=np.int64)
+        return batch.append_column(
+            "outlier", pa.array(batch["d2"].to_numpy() > t))
+
+    return d2t.map_batches(flag, batch_format="pyarrow")
+
+
 def lsh_topk(ds: ray.data.Dataset, query_ids: np.ndarray, k: int = 5,
              nplanes: int = 6, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:

@@ -1793,6 +1793,55 @@ def _sql_cluster():
 SQL_KMEANS_CLUSTERS, SQL_ANN_LSH = _sql_cluster()
 
 
+def q_centroid_outliers(sf_dir: str):
+    """Embedding pruning by per-label centroid distance
+    (cluster.centroid_outliers — the SemDeDup-style curation signal):
+    exact quantized centroids, exact int64 squared distances, integer
+    mean threshold. Everything is order-independent integer arithmetic,
+    so the SQL replay matches bit-for-bit including every outlier
+    flag."""
+    from . import cluster as clmod
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    out = clmod.centroid_outliers(emb).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    return out.astype({"vec_id": "int64", "label": "int64",
+                       "d2": "int64", "outlier": "bool"})
+
+
+def _sql_centroid_outliers(dim: int = 64) -> str:
+    from .cluster import Q_SCALE
+    fdiv = "(2*s + n - ((2*s + n) % (2*n) + 2*n) % (2*n)) // (2*n)"
+    return f"""
+WITH xq AS (
+  SELECT vec_id AS vid, label, d,
+         CAST(FLOOR(embedding[d + 1]::DOUBLE * {Q_SCALE} + 0.5) AS BIGINT)
+           AS xq
+  FROM embeddings, range(0, {dim}) t(d)
+), s AS (
+  SELECT label, d, CAST(SUM(xq) AS BIGINT) AS s, COUNT(*) AS n
+  FROM xq GROUP BY label, d
+), c AS (
+  SELECT label, d, CAST({fdiv} AS BIGINT) AS cq FROM s
+), d2 AS (
+  SELECT x.vid, x.label,
+         CAST(SUM((x.xq - c.cq) * (x.xq - c.cq)) AS BIGINT) AS d2
+  FROM xq x JOIN c ON x.label = c.label AND x.d = c.d
+  GROUP BY x.vid, x.label
+), thr AS (
+  SELECT label, CAST(SUM(d2) AS BIGINT) // COUNT(*) AS t
+  FROM d2 GROUP BY label
+)
+SELECT d2.vid AS vec_id, CAST(d2.label AS BIGINT) AS label, d2.d2,
+       d2.d2 > thr.t AS outlier
+FROM d2 JOIN thr USING (label) ORDER BY vec_id
+"""
+
+
+SQL_CENTROID_OUTLIERS = _sql_centroid_outliers()
+
+
 def q_normalize_text(sf_dir: str):
     """Text normalization (pipelines/text.py normalize_text — the CCNet
     cleanup pass): NFC → strip accents → lowercase → collapse whitespace
@@ -4390,6 +4439,7 @@ REGISTRY = {
     "mixture_take": (q_mixture_take, SQL_MIXTURE_TAKE),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
+    "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -137,3 +137,38 @@ class TestLsh:
                            signs)
         if b[0] not in (b[1], b[2]):
             assert len(out) == 0
+
+
+class TestCentroidOutliers:
+    def test_matches_brute(self):
+        rng = np.random.default_rng(17)
+        n, dim = 300, 8
+        emb = rng.normal(size=(n, dim)).astype(np.float32)
+        labels = rng.integers(0, 4, n).astype(np.int32)
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": list(emb), "label": labels})
+        out = cl.centroid_outliers(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+
+        xq = cl.quantize(emb.astype(np.float64))
+        for lab in np.unique(labels):
+            m = labels == lab
+            s = xq[m].sum(axis=0)
+            cnt = int(m.sum())
+            cent = cl._round_div(s, np.full(dim, cnt, dtype=np.int64))
+            d2 = ((xq[m] - cent) ** 2).sum(axis=1)
+            thr = int(d2.sum()) // cnt
+            got = out[out.label == lab].sort_values("vec_id")
+            assert got["d2"].tolist() == d2.tolist()
+            assert got["outlier"].tolist() == (d2 > thr).tolist()
+
+    def test_tight_cluster_flags_far_point(self):
+        base = np.zeros((20, 4), dtype=np.float64)
+        base[-1] = 10.0  # one far point
+        df = pd.DataFrame({"vec_id": np.arange(20, dtype=np.int64),
+                           "embedding": list(base.astype(np.float32)),
+                           "label": np.zeros(20, dtype=np.int32)})
+        out = cl.centroid_outliers(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert bool(out.outlier.iloc[-1])
+        assert not out.outlier.iloc[:-1].any()
