@@ -4150,6 +4150,46 @@ FROM rk ORDER BY host
 """
 
 
+def q_funnel_steps(sf_dir: str):
+    """Ordered funnel progression per user (stages/temporal.funnel_steps):
+    view → click → purchase, step i+1 strictly after the chosen step-i
+    event (chained earliest-first ≡ ordered-subsequence existence).
+    Output includes every user at their drop-off depth. The SQL twin is
+    the classic chained MIN(ts) CTE funnel, so the value hash checks
+    the greedy matcher against the declarative definition."""
+    from ..stages.temporal import funnel_steps
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    out = funnel_steps(ev, steps=["view", "click", "purchase"]) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    return out.astype({"user_id": "int64", "steps_reached": "int64"})
+
+
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+), u AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_reached
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4440,6 +4480,7 @@ REGISTRY = {
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -513,3 +513,56 @@ def lag_deltas(ds: ray.data.Dataset, key: str, ts: str,
         return d.drop(columns=["__bucket"])
 
     return grouped_apply(tagged, kernel, nbuckets)
+
+
+def funnel_steps(ds: ray.data.Dataset, steps: list[str],
+                 key: str = "user_id", ts: str = "ts",
+                 type_col: str = "event_type",
+                 nbuckets: int = 32) -> ray.data.Dataset:
+    """Ordered funnel progression per key: how many of ``steps`` the key
+    completed IN ORDER — step i+1 must occur strictly after the chosen
+    step-i event. The match rule is chained earliest-first (first step-0
+    event, then the first step-1 event after it, …), which is both the
+    standard funnel SQL (chained ``MIN(ts) … ts > prev`` CTEs) and
+    provably equivalent to "an ordered subsequence exists" (matching
+    earliest never forecloses a later step). Ties at the same timestamp
+    do NOT advance (strict >), identically in both engines.
+
+    One key-hash exchange; the kernel is vectorized across keys (one
+    filtered groupby-min per funnel step, no per-user loop). Output:
+    (key, steps_reached) for EVERY key present — the zeros are the
+    funnel's drop-off report."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.select_columns([key, ts, type_col]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "steps_reached": pd.Series([],
+                                                            dtype="int64")})
+        t64 = df[ts].astype("int64")
+        reached = pd.Series(0, index=pd.Index(df[key].unique(), name=key),
+                            dtype="int64")
+        frontier = pd.Series(np.iinfo(np.int64).min, index=reached.index)
+        for i, step in enumerate(steps):
+            sub = df[df[type_col] == step]
+            if not len(sub):
+                break
+            tp = sub[key].map(frontier)
+            ok = tp.notna() & (t64[sub.index] > tp.fillna(0).astype("int64"))
+            sub = sub[ok]
+            if not len(sub):
+                break
+            first = t64[sub.index].groupby(sub[key].to_numpy()).min()
+            reached.loc[first.index] = i + 1
+            frontier = first
+        out = reached.reset_index()
+        out.columns = [key, "steps_reached"]
+        return out.drop(columns=["__bucket"], errors="ignore")
+
+    return grouped_apply(tagged, kernel, nbuckets)

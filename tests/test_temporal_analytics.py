@@ -878,3 +878,48 @@ class TestApportionBudget:
         with pytest.raises(ValueError):
             an.apportion_budget(ray.data.from_pandas(
                 pd.DataFrame({"host": ["a"], "w": [0]})), "host", "w", 5)
+
+
+class TestFunnelSteps:
+    def _brute(self, df, steps):
+        out = {}
+        for u, g in df.sort_values("ts").groupby("user_id"):
+            t, reached = None, 0
+            for s in steps:
+                cand = g[(g.event_type == s)
+                         & ((g.ts > t) if t is not None else True)]
+                if not len(cand):
+                    break
+                t = cand.ts.iloc[0]
+                reached += 1
+            out[u] = reached
+        return out
+
+    def test_matches_brute(self):
+        from geetiles_ray.stages.temporal import funnel_steps
+        rng = np.random.default_rng(23)
+        n = 2000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 120, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase",
+                                      "error"], n)})
+        steps = ["view", "click", "purchase"]
+        out = funnel_steps(ray.data.from_pandas(df), steps) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = self._brute(df, steps)
+        got = dict(zip(out.user_id, out.steps_reached))
+        assert got == want
+        assert set(out.user_id) == set(df.user_id)  # zeros reported too
+
+    def test_order_strictness(self):
+        from geetiles_ray.stages.temporal import funnel_steps
+        # click BEFORE view, and a same-timestamp click: neither advances
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([5, 10, 10, 1, 2], unit="s"),
+            "event_type": ["click", "view", "click", "view", "click"]})
+        out = funnel_steps(ray.data.from_pandas(df),
+                           ["view", "click", "purchase"]).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert out.steps_reached.tolist() == [1, 2]
