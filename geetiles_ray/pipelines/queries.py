@@ -4190,6 +4190,42 @@ ORDER BY u.user_id
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle (stages/temporal.cohort_retention):
+    users cohorted by the epoch-week of their first signup; retained in
+    offset w if any event lands in [t0+w·week, t0+(w+1)·week). Exact
+    epoch-microsecond integer arithmetic; local distinct is global
+    distinct under user-hash bucketing, so the SQL COUNT(DISTINCT)
+    replay matches exactly."""
+    from ..stages.temporal import cohort_retention
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    out = cohort_retention(ev).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    return out.astype({"cohort_week": "int64", "week_offset": "int64",
+                       "n_users": "int64"})
+
+
+SQL_COHORT_RETENTION = f"""
+WITH a AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), x AS (
+  SELECT e.user_id, a.t0,
+         (CAST(epoch_us(e.ts) AS BIGINT) - a.t0) // {7 * 86400 * 1_000_000}
+           AS week_offset
+  FROM events e JOIN a USING (user_id)
+  WHERE CAST(epoch_us(e.ts) AS BIGINT) >= a.t0
+)
+SELECT CAST(t0 // {7 * 86400 * 1_000_000} AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4481,6 +4517,7 @@ REGISTRY = {
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -566,3 +566,66 @@ def funnel_steps(ds: ray.data.Dataset, steps: list[str],
         return out.drop(columns=["__bucket"], errors="ignore")
 
     return grouped_apply(tagged, kernel, nbuckets)
+
+
+def cohort_retention(ds: ray.data.Dataset, anchor_type: str = "signup",
+                     key: str = "user_id", ts: str = "ts",
+                     type_col: str = "event_type",
+                     week_us: int = 7 * 86400 * 1_000_000,
+                     nbuckets: int = 32) -> ray.data.Dataset:
+    """Cohort retention matrix: users cohorted by the epoch-week of
+    their FIRST ``anchor_type`` event; a user counts as retained in
+    week-offset w if ANY of their events lands in
+    ``[t0 + w·week, t0 + (w+1)·week)``. Users with no anchor event are
+    excluded. Output (cohort_week, week_offset, n_users) — the classic
+    retention triangle, all integer arithmetic on epoch-microseconds.
+
+    One key-hash exchange co-locates each user's events; the kernel
+    dedups (user, offset) locally (a user lives in exactly one bucket,
+    so local distinct IS global distinct) and ships only
+    (cohort, offset, partial-count) rows into a tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.select_columns([key, ts, type_col]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_week": pd.Series([], dtype="int64"),
+            "week_offset": pd.Series([], dtype="int64"),
+            "__n": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        t64 = df[ts].astype("datetime64[us]").astype("int64")
+        anchors = t64[df[type_col] == anchor_type] \
+            .groupby(df.loc[df[type_col] == anchor_type, key].to_numpy()) \
+            .min()
+        t0 = df[key].map(anchors)
+        ok = t0.notna() & (t64 >= t0)
+        if not ok.any():
+            return empty
+        sub = df[ok]
+        t0v = t0[ok].astype("int64")
+        off = (t64[ok] - t0v) // week_us
+        out = pd.DataFrame({
+            key: sub[key].to_numpy(),
+            "cohort_week": (t0v // week_us).to_numpy(),
+            "week_offset": off.to_numpy()}).drop_duplicates()
+        g = out.groupby(["cohort_week", "week_offset"], sort=False) \
+            .size().reset_index(name="__n")
+        return g.astype({"cohort_week": "int64", "week_offset": "int64",
+                         "__n": "int64"})
+
+    partial = grouped_apply(tagged, kernel, nbuckets)
+    agg = partial.groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("__n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["cohort_week", "week_offset", "n_users"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -923,3 +923,50 @@ class TestFunnelSteps:
                            ["view", "click", "purchase"]).to_pandas() \
             .sort_values("user_id").reset_index(drop=True)
         assert out.steps_reached.tolist() == [1, 2]
+
+
+class TestCohortRetention:
+    def test_matches_brute(self):
+        from geetiles_ray.stages.temporal import cohort_retention
+        WEEK = 7 * 86400 * 1_000_000
+        rng = np.random.default_rng(29)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 150, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 40 * 86400, n), unit="s").astype(
+                "datetime64[us]"),
+            "event_type": rng.choice(
+                ["signup", "view", "click"], n, p=[0.2, 0.5, 0.3])})
+        out = cohort_retention(df_ds := ray.data.from_pandas(df)) \
+            .to_pandas().sort_values(["cohort_week", "week_offset"]) \
+            .reset_index(drop=True)
+
+        t64 = df.ts.astype("int64")
+        brute = {}
+        for u, g in df.assign(t64=t64).groupby("user_id"):
+            su = g[g.event_type == "signup"]
+            if not len(su):
+                continue
+            t0 = int(su.t64.min())
+            cw = t0 // WEEK
+            offs = {int((t - t0) // WEEK) for t in g.t64 if t >= t0}
+            for o in offs:
+                brute[(cw, o)] = brute.get((cw, o), 0) + 1
+        got = {(r.cohort_week, r.week_offset): r.n_users
+               for r in out.itertuples()}
+        assert got == brute
+        # week-0 cell exists for every cohort (the signup itself)
+        for (cw, o) in brute:
+            assert (cw, 0) in brute
+
+    def test_pre_anchor_events_excluded(self):
+        from geetiles_ray.stages.temporal import cohort_retention
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([0, 10 * 86400, 11 * 86400],
+                                 unit="s").astype("datetime64[us]"),
+            "event_type": ["view", "signup", "click"]})
+        out = cohort_retention(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 1  # only week 0 (signup+click same week)
+        assert out.n_users.iloc[0] == 1 and out.week_offset.iloc[0] == 0
