@@ -4226,6 +4226,35 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_rolling_active(sf_dir: str):
+    """Rolling 7-day active users (stages/temporal.rolling_active):
+    exact sliding-window distinct via interval explosion on the deduped
+    (user, day) table — local distinct is global under user-hash
+    bucketing. The SQL twin replays the same explosion with
+    range(0, 7), so the value hash checks the whole exact-WAU plan."""
+    from ..stages.temporal import rolling_active
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out = rolling_active(ev, window_days=7).to_pandas() \
+        .sort_values("window_end_day").reset_index(drop=True)
+    return out.astype({"window_end_day": "int64", "n_active": "int64"})
+
+
+SQL_ROLLING_ACTIVE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+), w AS (
+  SELECT DISTINCT user_id, day + o AS wend FROM d, range(0, 7) t(o)
+)
+SELECT wend AS window_end_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM w GROUP BY wend ORDER BY wend
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4518,6 +4547,7 @@ REGISTRY = {
     "centroid_outliers": (q_centroid_outliers, SQL_CENTROID_OUTLIERS),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "rolling_active": (q_rolling_active, SQL_ROLLING_ACTIVE),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

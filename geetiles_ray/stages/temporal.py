@@ -629,3 +629,55 @@ def cohort_retention(ds: ray.data.Dataset, anchor_type: str = "signup",
             ["cohort_week", "week_offset", "n_users"])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def rolling_active(ds: ray.data.Dataset, key: str = "user_id",
+                   ts: str = "ts", window_days: int = 7,
+                   nbuckets: int = 32) -> ray.data.Dataset:
+    """Rolling N-day active users (the WAU/MAU metric), EXACT: for each
+    epoch-day d, how many distinct keys had at least one event in
+    ``[d − N + 1, d]``. Sliding distinct counts resist sketch-free
+    streaming; the exact plan here is interval explosion — each
+    distinct (key, active-day) contributes to the N window-ends it can
+    satisfy, then (key, window-end) dedups. Under key-hash bucketing
+    local distinct is global, so only (window_end, partial-count) rows
+    leave the exchange; the explosion factor is N on the DEDUPED
+    (key, day) table, not on raw events. Output
+    (window_end_day, n_active), only windows with ≥ 1 active key."""
+    from ray.data.aggregate import Sum
+
+    day_us = 86400 * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.select_columns([key, ts]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "window_end_day": pd.Series([], dtype="int64"),
+                "__n": pd.Series([], dtype="int64")})
+        day = (df[ts].astype("datetime64[us]").astype("int64")
+               // day_us).to_numpy()
+        kd = pd.DataFrame({key: df[key].to_numpy(), "d": day}) \
+            .drop_duplicates()
+        n = len(kd)
+        off = np.tile(np.arange(window_days, dtype=np.int64), n)
+        kw = pd.DataFrame({
+            key: np.repeat(kd[key].to_numpy(), window_days),
+            "w": np.repeat(kd["d"].to_numpy(), window_days) + off}) \
+            .drop_duplicates()
+        g = kw.groupby("w", sort=False).size().reset_index(name="__n")
+        g.columns = ["window_end_day", "__n"]
+        return g.astype({"window_end_day": "int64", "__n": "int64"})
+
+    partial = grouped_apply(tagged, kernel, nbuckets)
+    agg = partial.groupby("window_end_day").aggregate(Sum("__n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["window_end_day", "n_active"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")

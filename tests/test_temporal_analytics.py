@@ -970,3 +970,39 @@ class TestCohortRetention:
         out = cohort_retention(ray.data.from_pandas(df)).to_pandas()
         assert len(out) == 1  # only week 0 (signup+click same week)
         assert out.n_users.iloc[0] == 1 and out.week_offset.iloc[0] == 0
+
+
+class TestRollingActive:
+    def test_matches_brute(self):
+        from geetiles_ray.stages.temporal import rolling_active
+        rng = np.random.default_rng(37)
+        n = 2500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 80, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 30 * 86400, n),
+                                 unit="s").astype("datetime64[us]")})
+        N = 7
+        out = rolling_active(ray.data.from_pandas(df), window_days=N) \
+            .to_pandas().sort_values("window_end_day") \
+            .reset_index(drop=True)
+        day = (df.ts.astype("int64") // (86400 * 1_000_000)).to_numpy()
+        active = {}
+        for u, d in set(zip(df.user_id, day)):
+            for w in range(d, d + N):
+                active.setdefault(w, set()).add(u)
+        want = {w: len(s) for w, s in active.items()}
+        got = dict(zip(out.window_end_day, out.n_active))
+        assert got == want
+        # window peaks cover all users seen within any N-day span
+        assert max(got.values()) <= df.user_id.nunique()
+
+    def test_single_event_covers_n_windows(self):
+        from geetiles_ray.stages.temporal import rolling_active
+        df = pd.DataFrame({
+            "user_id": [42],
+            "ts": pd.to_datetime([5 * 86400],
+                                 unit="s").astype("datetime64[us]")})
+        out = rolling_active(ray.data.from_pandas(df), window_days=3) \
+            .to_pandas().sort_values("window_end_day")
+        assert out.window_end_day.tolist() == [5, 6, 7]
+        assert out.n_active.tolist() == [1, 1, 1]
