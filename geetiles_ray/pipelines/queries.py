@@ -4255,6 +4255,36 @@ FROM w GROUP BY wend ORDER BY wend
 """
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts
+    (stages/temporal.event_transitions): the empirical Markov matrix.
+    Same-timestamp order pinned by event_id on both sides, so the
+    adjacent-pair set is engine-exact; the SQL twin is the LEAD()
+    window over the identical (ts, event_id) ordering."""
+    from ..stages.temporal import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    out = event_transitions(ev).to_pandas() \
+        .sort_values(["cur_type", "next_type"]).reset_index(drop=True)
+    return out.astype({"n": "int64"})
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS cur_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY cur_type, next_type ORDER BY cur_type, next_type
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4548,6 +4578,7 @@ REGISTRY = {
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "rolling_active": (q_rolling_active, SQL_ROLLING_ACTIVE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),

@@ -681,3 +681,55 @@ def rolling_active(ds: ray.data.Dataset, key: str = "user_id",
         return batch.rename_columns(["window_end_day", "n_active"])
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def event_transitions(ds: ray.data.Dataset, key: str = "user_id",
+                      ts: str = "ts", type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      nbuckets: int = 32) -> ray.data.Dataset:
+    """First-order transition counts over each key's event sequence
+    (the empirical Markov matrix behind next-action models and bot
+    detection): sort each key's events by (ts, order_col) — the
+    explicit tie-break makes same-timestamp order engine-exact — and
+    count adjacent (current → next) type pairs corpus-wide. One
+    key-hash exchange, vectorized shift kernel, type²-sized output
+    through a tiny final groupby. SQL twin: LEAD() OVER the same
+    window."""
+    from ray.data.aggregate import Sum
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (_key_hash(batch[key]) % np.uint64(nbuckets)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(b))
+
+    tagged = ds.select_columns([key, ts, type_col, order_col]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cur_type": pd.Series([], dtype="object"),
+                "next_type": pd.Series([], dtype="object"),
+                "__n": pd.Series([], dtype="int64")})
+        d = df.sort_values([key, ts, order_col], kind="mergesort")
+        nxt = d[type_col].shift(-1)
+        same = d[key].to_numpy()[:-1] == d[key].to_numpy()[1:]
+        pairs = pd.DataFrame({
+            "cur_type": d[type_col].to_numpy()[:-1],
+            "next_type": nxt.to_numpy()[:-1]})[same]
+        g = pairs.groupby(["cur_type", "next_type"], sort=False) \
+            .size().reset_index(name="__n")
+        return g.astype({"__n": "int64"})
+
+    # an all-single-event bucket yields an empty pandas frame whose
+    # object columns would infer null-typed Arrow blocks — normalize
+    from ..functions.arrowio import pandas_to_arrow_normalizer
+    target = pa.schema([("cur_type", pa.string()),
+                        ("next_type", pa.string()), ("__n", pa.int64())])
+    partial = grouped_apply(tagged, kernel, nbuckets).map_batches(
+        pandas_to_arrow_normalizer(target), batch_format="pandas")
+    agg = partial.groupby(["cur_type", "next_type"]).aggregate(Sum("__n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cur_type", "next_type", "n"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")

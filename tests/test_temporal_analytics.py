@@ -1006,3 +1006,34 @@ class TestRollingActive:
             .to_pandas().sort_values("window_end_day")
         assert out.window_end_day.tolist() == [5, 6, 7]
         assert out.n_active.tolist() == [1, 1, 1]
+
+
+class TestEventTransitions:
+    def test_matches_brute(self):
+        from geetiles_ray.stages.temporal import event_transitions
+        rng = np.random.default_rng(41)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 500, n),  # many ts ties
+                                 unit="s").astype("datetime64[us]"),
+            "event_type": rng.choice(list("abc"), n)})
+        out = event_transitions(ray.data.from_pandas(df)).to_pandas()
+        got = {(r.cur_type, r.next_type): r.n for r in out.itertuples()}
+        brute = {}
+        for _, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+            t = g.event_type.tolist()
+            for a, b in zip(t, t[1:]):
+                brute[(a, b)] = brute.get((a, b), 0) + 1
+        assert got == brute
+        assert sum(got.values()) == n - df.user_id.nunique()
+
+    def test_single_event_users_yield_nothing(self):
+        from geetiles_ray.stages.temporal import event_transitions
+        df = pd.DataFrame({
+            "event_id": [0, 1], "user_id": [1, 2],
+            "ts": pd.to_datetime([1, 2], unit="s").astype("datetime64[us]"),
+            "event_type": ["a", "b"]})
+        out = event_transitions(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 0
