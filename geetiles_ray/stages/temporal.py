@@ -553,9 +553,14 @@ def funnel_steps(ds: ray.data.Dataset, steps: list[str],
             sub = df[df[type_col] == step]
             if not len(sub):
                 break
-            tp = sub[key].map(frontier)
-            ok = tp.notna() & (t64[sub.index] > tp.fillna(0).astype("int64"))
-            sub = sub[ok]
+            # stay on exact int64: .map() with missing keys coerces to
+            # float64, whose ~256 µs resolution at 2020s epochs can flip
+            # strict comparisons near boundaries
+            sub = sub[sub[key].isin(frontier.index)]
+            if not len(sub):
+                break
+            tp = frontier.loc[sub[key]].to_numpy()
+            sub = sub[t64[sub.index].to_numpy() > tp]
             if not len(sub):
                 break
             first = t64[sub.index].groupby(sub[key].to_numpy()).min()
@@ -604,17 +609,21 @@ def cohort_retention(ds: ray.data.Dataset, anchor_type: str = "signup",
         anchors = t64[df[type_col] == anchor_type] \
             .groupby(df.loc[df[type_col] == anchor_type, key].to_numpy()) \
             .min()
-        t0 = df[key].map(anchors)
-        ok = t0.notna() & (t64 >= t0)
-        if not ok.any():
+        # exact int64 path — .map() with missing keys coerces to float64,
+        # whose ~256 µs resolution at 2020s epochs can shift a boundary
+        sub = df[df[key].isin(anchors.index)]
+        if not len(sub):
             return empty
-        sub = df[ok]
-        t0v = t0[ok].astype("int64")
-        off = (t64[ok] - t0v) // week_us
+        t0v = anchors.loc[sub[key]].to_numpy()
+        t64s = t64[sub.index].to_numpy()
+        m = t64s >= t0v
+        sub, t0v, t64s = sub[m], t0v[m], t64s[m]
+        if not len(sub):
+            return empty
         out = pd.DataFrame({
             key: sub[key].to_numpy(),
-            "cohort_week": (t0v // week_us).to_numpy(),
-            "week_offset": off.to_numpy()}).drop_duplicates()
+            "cohort_week": t0v // week_us,
+            "week_offset": (t64s - t0v) // week_us}).drop_duplicates()
         g = out.groupby(["cohort_week", "week_offset"], sort=False) \
             .size().reset_index(name="__n")
         return g.astype({"cohort_week": "int64", "week_offset": "int64",

@@ -1037,3 +1037,41 @@ class TestEventTransitions:
             "event_type": ["a", "b"]})
         out = event_transitions(ray.data.from_pandas(df)).to_pandas()
         assert len(out) == 0
+
+
+class TestEpochMicrosecondExactness:
+    """ .map() with missing keys coerces int64 epoch-us to float64,
+    whose resolution at 2020s epochs is ~256 us — these fixtures place
+    events 1 us apart at epoch 1.6e18 so any float round-trip flips
+    the strict comparisons."""
+
+    BASE = 1_600_000_000_000_001  # us, odd so float64 cannot hold it
+
+    def test_funnel_strictness_at_1us(self):
+        from geetiles_ray.stages.temporal import funnel_steps
+        b = self.BASE
+        df = pd.DataFrame({
+            "user_id": [1, 1, 2, 2, 3],  # user 3 missing from frontier
+            "ts": pd.to_datetime([b, b + 1, b, b, b], unit="us"),
+            "event_type": ["view", "click", "view", "click", "click"]})
+        out = funnel_steps(ray.data.from_pandas(df),
+                           ["view", "click"]).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        # user 1: click 1 us after view -> 2; user 2: same-us tie -> 1
+        assert out.steps_reached.tolist() == [2, 1, 0]
+
+    def test_cohort_boundary_at_1us(self):
+        from geetiles_ray.stages.temporal import cohort_retention
+        WEEK = 7 * 86400 * 1_000_000
+        t0 = (self.BASE // WEEK) * WEEK + WEEK - 1  # 1 us before boundary
+        df = pd.DataFrame({
+            "user_id": [1, 1, 9],  # user 9 anchorless -> int64 path forced
+            "ts": pd.to_datetime([t0, t0 + 1, t0], unit="us"),
+            "event_type": ["signup", "view", "view"]})
+        out = cohort_retention(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("week_offset").reset_index(drop=True)
+        # the view lands 1 us after signup but in offset-week 0 still
+        # (offset is relative to t0, not the calendar week)
+        assert out.cohort_week.tolist() == [t0 // WEEK]
+        assert out.week_offset.tolist() == [0]
+        assert out.n_users.tolist() == [1]
