@@ -4285,6 +4285,87 @@ GROUP BY cur_type, next_type ORDER BY cur_type, next_type
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style shipping priority: BUILDING-segment customers'
+    orders placed before the cutoff, revenue from lineitems shipped
+    after it, top 10 by revenue. Plan: segment custkeys broadcast
+    (dimension semi-join), date-pruned scans on both fact tables,
+    lineitem pre-aggregated to one row per order BEFORE the
+    large-large hash join (the shuffle moves |orders| rows), per-block
+    top-k combiner → tiny driver merge. Ties pinned by
+    (revenue desc, o_orderdate, l_orderkey) in both engines."""
+    import pyarrow.compute as pc
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = ray.put(frozenset(
+        cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"]))
+    cutoff = pd.Timestamp("1996-06-30")
+
+    class FilterOrders:
+        def __init__(self):
+            self.keys = ray.get(keys)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
+            m = [k in self.keys for k in batch["o_custkey"].to_pylist()]
+            return batch.filter(pa.array(m)).select(
+                ["o_orderkey", "o_orderdate"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(FilterOrders, batch_format="pyarrow", concurrency=2)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        r = pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+
+    li_rev = dedupmod.partial_sums(
+        li.map_batches(rev, batch_format="pyarrow"),
+        ["l_orderkey"], "rev", "rev")
+    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["revenue"] = d["rev"].round(2)
+        return d.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                             ascending=[False, True, True]).head(10)
+
+    out = joined.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas() \
+        .sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                     ascending=[False, True, True]).head(10) \
+        .reset_index(drop=True)
+    return out[["l_orderkey", "revenue", "o_orderdate"]] \
+        .astype({"l_orderkey": "int64"})
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
 _MIX_WEIGHTS = {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}
 
 
@@ -4579,6 +4660,7 @@ REGISTRY = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "rolling_active": (q_rolling_active, SQL_ROLLING_ACTIVE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
