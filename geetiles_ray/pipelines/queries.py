@@ -4351,6 +4351,69 @@ def q_shipping_priority(sf_dir: str):
         .astype({"l_orderkey": "int64"})
 
 
+def q_late_orders(sf_dir: str):
+    """TPC-H Q4-style order-priority check (adapted to this schema's
+    columns): count orders per priority whose LATEST lineitem shipment
+    left more than 60 days after the order date. lineitem collapses to
+    one MAX(l_shipdate) row per order BEFORE the large-large join (the
+    combiner — the shuffle moves |orders| rows), the lateness predicate
+    is exact epoch-µs integer arithmetic, and the output is pure
+    integer counts (no float in the hash)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def maxship(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(),
+            "s": batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+                 .astype("int64")})
+        g = df.groupby("l_orderkey", sort=False)["s"].max().reset_index()
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"]),
+                         "max_ship": pa.array(g["s"])})
+
+    part = li.map_batches(maxship, batch_format="pyarrow")
+    li_max = part.groupby("l_orderkey").max("max_ship")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "max_ship"])
+
+    li_max = li_max.map_batches(rename, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = orders.join(li_max, join_type="inner", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def late(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        keep = batch["max_ship"].to_numpy() > od + 60 * 86400 * 1_000_000
+        return batch.filter(pa.array(keep)) \
+            .select(["o_orderpriority"])
+
+    agg = joined.map_batches(late, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Count()).to_pandas()
+    agg = agg.rename(columns={"count()": "n_late"})
+    return agg.sort_values("o_orderpriority").reset_index(drop=True) \
+        .astype({"n_late": "int64"})
+
+
+SQL_LATE_ORDERS = """
+WITH m AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM orders JOIN m ON o_orderkey = l_orderkey
+WHERE CAST(epoch_us(max_ship) AS BIGINT)
+      > CAST(epoch_us(o_orderdate) AS BIGINT) + 5184000000000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -4661,6 +4724,7 @@ REGISTRY = {
     "rolling_active": (q_rolling_active, SQL_ROLLING_ACTIVE),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "late_orders": (q_late_orders, SQL_LATE_ORDERS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
