@@ -3966,6 +3966,46 @@ def _pii_dirty_batch(batch: pa.Table) -> pa.Table:
                                       type=pa.string())})
 
 
+def q_chunk_texts(sf_dir: str):
+    """Materialized chunk strings (analytics.chunk_texts): the write-side
+    variant of chunk_docs — same spans, plus the chunk text itself,
+    gathered from the Arrow data buffer with one vectorized fancy-index.
+    The SQL twin joins the token slices back into strings, so the value
+    hash checks every materialized byte, not just the span arithmetic."""
+    from .analytics import chunk_texts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = chunk_texts(docs, window=16, stride=12).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    out = out[["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]]
+    return out.astype({"doc_id": "int64", "chunk_id": "int64",
+                       "n_chunk_tokens": "int64"})
+
+
+SQL_CHUNK_TEXTS = """
+WITH n AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, CASE WHEN n_tokens <= 16 THEN 1
+                 ELSE (n_tokens - 16 + 11) // 12 + 1 END AS n_chunks
+  FROM n
+), x AS (
+  SELECT doc_id, toks, n_tokens, unnest(range(0, n_chunks)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(LEAST(16, n_tokens - chunk_id * 12) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(
+    list_slice(toks, chunk_id * 12 + 1,
+               chunk_id * 12 + LEAST(16, n_tokens - chunk_id * 12)),
+    ' ') AS chunk_text
+FROM x ORDER BY doc_id, chunk_id
+"""
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (functions/pii.redact_pii): documents deterministically
     dirtied with doc_id-derived emails / phone numbers / IPv4 addresses,
@@ -4725,6 +4765,7 @@ REGISTRY = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "late_orders": (q_late_orders, SQL_LATE_ORDERS),
+    "chunk_texts": (q_chunk_texts, SQL_CHUNK_TEXTS),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
