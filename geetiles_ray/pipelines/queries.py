@@ -4454,6 +4454,50 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_priority_shipmix(sf_dir: str):
+    """TPC-H Q12-style two-class conditional aggregation: per
+    l_returnflag, how many joined lineitems belong to HIGH-priority
+    orders (1-URGENT / 2-HIGH) vs lower. The classification happens
+    map-side AFTER a large-large hash join whose right side is the
+    pruned (o_orderkey, o_orderpriority) projection; counts are pure
+    integers so the hash is exact by construction."""
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_returnflag"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        hi = np.isin(pri, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "high": pa.array(hi),
+                         "low": pa.array(1 - hi)})
+
+    agg = joined.map_batches(classify, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(Sum("high"), Sum("low")) \
+        .to_pandas()
+    agg = agg.rename(columns={"sum(high)": "high_line_count",
+                              "sum(low)": "low_line_count"})
+    return agg.sort_values("l_returnflag").reset_index(drop=True) \
+        .astype({"high_line_count": "int64", "low_line_count": "int64"})
+
+
+SQL_PRIORITY_SHIPMIX = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -4766,6 +4810,7 @@ REGISTRY = {
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "late_orders": (q_late_orders, SQL_LATE_ORDERS),
     "chunk_texts": (q_chunk_texts, SQL_CHUNK_TEXTS),
+    "priority_shipmix": (q_priority_shipmix, SQL_PRIORITY_SHIPMIX),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
