@@ -4498,6 +4498,72 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14-style promo revenue share per month: part is a
+    dimension, so its PROMO flag broadcasts (ray.put once, read in
+    every task — never a shuffle). Per-line revenue is quantized to
+    integer cents BEFORE summing (floor(rev·100 + 0.5) — the same one
+    IEEE multiply chain per row in both engines), so the monthly sums
+    are order-independent int64 and can never land on a rounding
+    boundary the way ROUND-after-float-SUM does."""
+    import pyarrow.compute as pc
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    promo = ray.put(frozenset(
+        part.loc[part.p_type == "PROMO", "p_partkey"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    class Classify:
+        def __init__(self):
+            self.promo = ray.get(promo)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"])) \
+                .to_numpy()
+            cents = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+            d = batch["l_shipdate"].to_numpy().astype("datetime64[M]")
+            month = (d.astype("datetime64[M]").astype(np.int64)
+                     + 1970 * 12)
+            isp = np.array([k in self.promo
+                            for k in batch["l_partkey"].to_pylist()])
+            return pa.table({
+                "ship_month": pa.array(month),
+                "promo_cents": pa.array(np.where(isp, cents, 0)),
+                "total_cents": pa.array(cents)})
+
+    tagged = li.map_batches(Classify, batch_format="pyarrow",
+                            concurrency=2)
+    pr = dedupmod.partial_sums(tagged, ["ship_month"], "promo_cents",
+                               "promo_cents")
+    tot = dedupmod.partial_sums(tagged, ["ship_month"], "total_cents",
+                                "total_cents")
+    a = pr.to_pandas().merge(tot.to_pandas(), on="ship_month")
+    return a.sort_values("ship_month").reset_index(drop=True) \
+        .astype({"ship_month": "int64", "promo_cents": "int64",
+                 "total_cents": "int64"})
+
+
+SQL_PROMO_SHARE = """
+SELECT CAST(date_part('year', l_shipdate) * 12
+            + date_part('month', l_shipdate) - 1 AS BIGINT) AS ship_month,
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                       + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS promo_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                      + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ship_month ORDER BY ship_month
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -4811,6 +4877,7 @@ REGISTRY = {
     "late_orders": (q_late_orders, SQL_LATE_ORDERS),
     "chunk_texts": (q_chunk_texts, SQL_CHUNK_TEXTS),
     "priority_shipmix": (q_priority_shipmix, SQL_PRIORITY_SHIPMIX),
+    "promo_share": (q_promo_share, SQL_PROMO_SHARE),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
