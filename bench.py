@@ -56,7 +56,7 @@ BENCH_QUERIES = ["page_tile_counts", "tile_lang_share", "dedup_events",
                  # round-5 operators
                  "bpe_tokens", "incremental_dedup", "chunk_docs",
                  "redact_pii", "shard_plan", "curation_shards", "dup_ngrams", "mixture_take", "oov_rate", "crawl_budget", "centroid_outliers", "funnel_steps", "cohort_retention", "rolling_active", "event_transitions",
-                 "shipping_priority", "late_orders", "chunk_texts", "priority_shipmix", "promo_share"]
+                 "shipping_priority", "late_orders", "chunk_texts", "priority_shipmix", "promo_share", "returned_revenue"]
 
 
 def host_probe() -> dict:

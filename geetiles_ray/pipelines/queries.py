@@ -4564,6 +4564,70 @@ GROUP BY ship_month ORDER BY ship_month
 """
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-style returned-item report: top 20 customers by
+    revenue of RETURNED ('R') lineitems. Per-line cents quantization
+    (integer folds, order-independent), lineitem pre-aggregated per
+    order BEFORE the large-large join, customer names attached from a
+    broadcast dimension, ties pinned by custkey."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0),
+                                      batch["l_discount"])).to_numpy()
+        c = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_cents": pa.array(c)})
+
+    li_rev = dedupmod.partial_sums(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_orderkey"], "rev_cents", "rev_cents")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    joined = li_rev.join(orders, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = dedupmod.partial_sums(joined, ["o_custkey"], "rev_cents",
+                                     "rev_cents")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_cents", "o_custkey"],
+                              ascending=[False, True]).head(20)
+
+    top = per_cust.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas().sort_values(["rev_cents", "o_custkey"],
+                                 ascending=[False, True]).head(20)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .sort_values(["rev_cents", "c_custkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "rev_cents"]] \
+        .astype({"c_custkey": "int64", "rev_cents": "int64"})
+
+
+SQL_RETURNED_REVENUE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                             * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, rev_cents
+FROM r JOIN customer ON o_custkey = c_custkey
+ORDER BY rev_cents DESC, c_custkey LIMIT 20
+"""
+
+
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -4878,6 +4942,7 @@ REGISTRY = {
     "chunk_texts": (q_chunk_texts, SQL_CHUNK_TEXTS),
     "priority_shipmix": (q_priority_shipmix, SQL_PRIORITY_SHIPMIX),
     "promo_share": (q_promo_share, SQL_PROMO_SHARE),
+    "returned_revenue": (q_returned_revenue, SQL_RETURNED_REVENUE),
     # --- already driver-green in CORRECTNESS_r04 (rows 1-50 there) ---
     "page_tile_counts": (q_page_tile_counts, SQL_PAGE_TILE_COUNTS),
     "tile_lang_share": (q_tile_lang_share, SQL_TILE_LANG_SHARE),
