@@ -4885,10 +4885,11 @@ FROM r ORDER BY doc_id
 # samples the FIRST 50 entries. Rounds 1-4 drove the original first 50
 # (page_tile_counts … token_postings — all green in CORRECTNESS_r04);
 # round 5 rotates the 28 queries the driver had never reached
-# (tfidf_terms … importance_weights) into the window, then the 16 new
-# round-5 queries (bpe_tokens … event_transitions, positions 28-43),
-# then already-green ones fill the remaining slots. Every query keeps
-# pytest + tools/check_oracle coverage regardless of position.
+# (tfidf_terms … importance_weights) into the window; the 22 new
+# round-5 queries (bpe_tokens … returned_revenue) fill positions
+# 28-49 exactly, so the window is entirely never-driver-gated or new.
+# Every query keeps pytest + tools/check_oracle coverage regardless
+# of position; rows 50+ were driver-green in CORRECTNESS_r04.
 REGISTRY = {
     # --- the 28 never-driver-gated queries (registry positions 51-78
     # in rounds 1-4), now inside the 50-query window ---
